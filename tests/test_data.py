@@ -1,0 +1,276 @@
+"""Data-layer tests: tokenizer, vocabulary, COCO loading, cluster vectors,
+batching — the semantics the reference pins down in
+utils/captions.py / utils/batch_gen.py."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vae_captioning_tpu.config import Config
+from vae_captioning_tpu.data import cluster_vectors as cv_lib
+from vae_captioning_tpu.data.batcher import CaptionBatcher, bucket_length, repartition
+from vae_captioning_tpu.data.coco import CocoCaptions, coco_paths
+from vae_captioning_tpu.data.tokenizer import detokenize, tokenize_caption
+from vae_captioning_tpu.data.vocabulary import Vocabulary
+
+
+# ---------------------------------------------------------------- tokenizer
+
+def test_tokenize_matches_reference_scheme():
+    # ref utils/captions.py:38-41 — lowercase, \W+ split, BOS/EOS wrap
+    assert tokenize_caption("A man, riding a horse!") == [
+        "<BOS>", "a", "man", "riding", "a", "horse", "<EOS>"]
+    assert tokenize_caption("  Hello---world  ") == [
+        "<BOS>", "hello", "world", "<EOS>"]
+    assert tokenize_caption("") == ["<BOS>", "<EOS>"]
+
+
+def test_detokenize_drops_control_tokens():
+    assert detokenize(["<BOS>", "a", "dog", "<EOS>"]) == "a dog"
+
+
+# ---------------------------------------------------------------- vocabulary
+
+def test_vocab_id_assignment():
+    caps = [tokenize_caption("a dog runs"), tokenize_caption("a dog sits"),
+            tokenize_caption("a cat sits")]
+    vocab = Vocabulary.build(caps, keep_words=2)
+    # counts: a=3, dog=2, sits=2, BOS=3, EOS=3, cat=1(dropped), runs=1(dropped)
+    assert vocab.pad_id == 0
+    assert vocab.word2idx["<PAD>"] == 0
+    # sorted by (-count, word): <BOS>=3, <EOS>=3, a=3 → alphabetical tie-break
+    assert vocab.decode([1, 2, 3]) == ["<BOS>", "<EOS>", "a"]
+    assert "cat" not in vocab
+    assert "<UNK>" in vocab  # kept despite low count
+    assert vocab.encode(["cat"]) == [vocab.unk_id]
+
+
+def test_vocab_roundtrip(tmp_path):
+    caps = [tokenize_caption("a dog runs fast")] * 3
+    vocab = Vocabulary.build(caps, keep_words=2)
+    path = str(tmp_path / "vocab.json")
+    vocab.save(path)
+    loaded = Vocabulary.load(path)
+    assert loaded.word2idx == vocab.word2idx
+    assert loaded.vocab_size == vocab.vocab_size
+
+
+def test_vocab_min_count_filter():
+    caps = [tokenize_caption("common word"), tokenize_caption("common thing")]
+    vocab = Vocabulary.build(caps, keep_words=2)
+    assert "common" in vocab
+    assert "word" not in vocab and "thing" not in vocab
+
+
+# ---------------------------------------------------------------- coco load
+
+def test_coco_captions_load(mini_coco):
+    paths = coco_paths(mini_coco)
+    caps = CocoCaptions(paths["train_cap_json"])
+    assert caps.num_images == 10
+    for fn, cap_list in caps.captions.items():
+        assert len(cap_list) == 5
+        for cap in cap_list:
+            assert cap[0] == "<BOS>" and cap[-1] == "<EOS>"
+    # filename <-> id maps agree
+    for fn, imid in caps.filename_to_imid.items():
+        assert caps.imid_to_filename[imid] == fn
+
+
+def test_coco_index_captions(mini_coco):
+    paths = coco_paths(mini_coco)
+    caps = CocoCaptions(paths["train_cap_json"])
+    vocab = Vocabulary.build(caps.all_tokenized(), keep_words=1)
+    caps.index_captions(vocab)
+    fn = next(iter(caps.captions_indexed))
+    ids = caps.captions_indexed[fn][0]
+    assert vocab.decode(ids) == caps.captions[fn][0]
+
+
+# ---------------------------------------------------------------- c_v
+
+def test_cluster_vectors_from_instances(mini_coco):
+    paths = coco_paths(mini_coco)
+    vecs = cv_lib.build_from_instances(paths["train_instances_json"])
+    assert len(vecs) == 10
+    for v in vecs.values():
+        assert v.shape == (91,)
+        assert v.sum() == pytest.approx(1.0) or v.sum() == 0.0
+        active = v[v > 0]
+        if len(active):
+            assert np.allclose(active, active[0])  # uniform over detected
+
+
+def test_cluster_vectors_roundtrip(tmp_path, mini_coco):
+    paths = coco_paths(mini_coco)
+    vecs = cv_lib.build_from_instances(paths["train_instances_json"])
+    npz = str(tmp_path / "c_v.npz")
+    cv_lib.save(vecs, npz)
+    loaded = cv_lib.load(npz)
+    for k in vecs:
+        np.testing.assert_allclose(loaded[k], vecs[k])
+    # reference pickle format too
+    pkl = str(tmp_path / "c_v.pickle")
+    cv_lib.save(vecs, pkl)
+    loaded_pkl = cv_lib.load(pkl)
+    for k in vecs:
+        np.testing.assert_allclose(loaded_pkl[k], vecs[k])
+
+
+def test_cluster_lookup_zero_fallback():
+    out = cv_lib.lookup_batch({"a.jpg": np.ones(91, np.float32)},
+                              ["a.jpg", "missing.jpg"])
+    assert out.shape == (2, 91)
+    assert out[1].sum() == 0.0  # ref utils/batch_gen.py:113-118
+
+
+def test_cluster_vectors_from_detections():
+    vecs = cv_lib.build_from_detections(
+        [("x.jpg", [(3, 0.9), (7, 0.6), (9, 0.2)])], score_threshold=0.5)
+    v = vecs["x.jpg"]
+    assert v[3] == pytest.approx(0.5) and v[7] == pytest.approx(0.5)
+    assert v[9] == 0.0
+
+
+# ---------------------------------------------------------------- batching
+
+def _make_batcher(mini_coco, batch_size=4, **kw):
+    paths = coco_paths(mini_coco)
+    caps = CocoCaptions(paths["train_cap_json"])
+    vocab = Vocabulary.build(caps.all_tokenized(), keep_words=1)
+    caps.index_captions(vocab)
+    from glob import glob
+    files = sorted(glob(os.path.join(paths["train_dir"], "*.jpg")))
+
+    class FakeFeatures:
+        def get_batch(self, fns):
+            return np.stack([np.full(4096, hash(os.path.basename(f)) % 7,
+                                     dtype=np.float32) for f in fns])
+
+    return CaptionBatcher(files, caps.captions_indexed, batch_size,
+                          feature_store=FakeFeatures(), **kw), vocab
+
+
+def test_bucket_length():
+    assert bucket_length(1, 8) == 8
+    assert bucket_length(8, 8) == 8
+    assert bucket_length(9, 8) == 16
+    assert bucket_length(30, 8, cap=24) == 24
+
+
+def test_train_batch_shapes(mini_coco):
+    batcher, vocab = _make_batcher(mini_coco, batch_size=4)
+    batches = list(batcher.train_batches(num_captions=1))
+    assert len(batches) == 2  # 10 images, drop remainder
+    b = batches[0]
+    assert b.features.shape == (4, 4096)
+    assert b.dec_inputs.shape[0] == 4 and b.dec_inputs.shape[1] == 1
+    assert b.dec_inputs.shape[2] % 8 == 0  # bucketed
+    assert b.cluster_vectors.shape == (4, 90)
+    assert b.valid == 4
+
+
+def test_caption_split_semantics(mini_coco):
+    # dec_inputs = cap[:-1] (<BOS>…), labels = cap[1:] (…<EOS>),
+    # length = len(cap) - 1   (ref utils/batch_gen.py:326-331)
+    batcher, vocab = _make_batcher(mini_coco, batch_size=4)
+    b = next(iter(batcher.train_batches(num_captions=1)))
+    for i in range(b.valid):
+        n = int(b.lengths[i, 0])
+        assert n > 0
+        assert b.dec_inputs[i, 0, 0] == vocab.bos_id
+        assert b.labels[i, 0, n - 1] == vocab.eos_id
+        # shifted by one: dec[t+1] == labels[t] for t < n-1
+        np.testing.assert_array_equal(b.dec_inputs[i, 0, 1:n],
+                                      b.labels[i, 0, : n - 1])
+        # padding is zeros
+        assert (b.dec_inputs[i, 0, n:] == 0).all()
+        assert (b.labels[i, 0, n:] == 0).all()
+
+
+def test_multi_caption_batches(mini_coco):
+    batcher, _ = _make_batcher(mini_coco, batch_size=4)
+    b = next(iter(batcher.train_batches(num_captions=5)))
+    assert b.dec_inputs.shape[1] == 5
+    assert (b.lengths > 0).all()  # every image has 5 captions in fixture
+
+
+def test_eval_batches_pad_final(mini_coco):
+    paths = coco_paths(mini_coco)
+    caps = CocoCaptions(paths["valid_cap_json"])
+    vocab = Vocabulary.build(caps.all_tokenized(), keep_words=1)
+    caps.index_captions(vocab)
+    from glob import glob
+    files = sorted(glob(os.path.join(paths["valid_dir"], "*.jpg")))
+
+    class FakeFeatures:
+        def get_batch(self, fns):
+            return np.zeros((len(fns), 4096), np.float32)
+
+    batcher = CaptionBatcher(files, caps.captions_indexed, 4,
+                             feature_store=FakeFeatures(),
+                             filename_to_imid=caps.filename_to_imid)
+    batches = list(batcher.eval_batches())
+    assert len(batches) == 2  # 6 images → 4 + 2(padded)
+    assert batches[-1].valid == 2
+    assert batches[-1].features.shape == (4, 4096)  # padded to full
+    assert batches[-1].image_ids.shape == (4,)
+    assert (batches[-1].image_ids[2:] == -1).all()
+    assert (batches[0].image_ids >= 0).all()
+
+
+def test_repartition_semantics():
+    rng = np.random.default_rng(0)
+    train = [f"t{i}" for i in range(10)]
+    val = [f"v{i}" for i in range(6)]
+    pool, heldout = repartition(train, val, 2, rng)
+    assert len(pool) == 14 and len(heldout) == 2
+    assert set(pool) | set(heldout) == set(train) | set(val)
+    assert not set(pool) & set(heldout)
+    # gen_val_cap < 0 → no holdout (ref utils/batch_gen.py:83-90)
+    pool2, heldout2 = repartition(train, val, -1, np.random.default_rng(0))
+    assert len(pool2) == 16 and heldout2 == []
+
+
+def test_train_shuffle_deterministic(mini_coco):
+    b1, _ = _make_batcher(mini_coco, batch_size=4, seed=7)
+    b2, _ = _make_batcher(mini_coco, batch_size=4, seed=7)
+    x1 = next(iter(b1.train_batches()))
+    x2 = next(iter(b2.train_batches()))
+    np.testing.assert_array_equal(x1.dec_inputs, x2.dec_inputs)
+
+
+# ---------------------------------------------------------------- config
+
+def test_config_roundtrip(tmp_path):
+    cfg = Config(prior="AG", use_c_v=True, latent_size=64)
+    path = str(tmp_path / "config.json")
+    cfg.save(path)
+    loaded = Config.load(path)
+    assert loaded == cfg
+
+
+def test_config_cli_flags():
+    from vae_captioning_tpu.config import parse_args
+    cfg = parse_args(["--lr", "0.001", "--bs", "16", "--prior", "AG",
+                      "--c_v", "--no_encoder", "--set", "seed=7"])
+    assert cfg.learning_rate == 0.001
+    assert cfg.batch_size == 16
+    assert cfg.prior == "AG"
+    assert cfg.use_c_v and cfg.no_encoder
+    assert cfg.seed == 7
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        Config(prior="bogus")
+    with pytest.raises(ValueError):
+        Config(num_captions=9)
+
+
+def test_config_needs_cluster_vectors():
+    assert Config(prior="AG").needs_cluster_vectors
+    assert Config(prior="GMM").needs_cluster_vectors
+    assert not Config(prior="Normal").needs_cluster_vectors
+    assert Config(prior="Normal", use_c_v=True).needs_cluster_vectors

@@ -1,0 +1,260 @@
+"""Configuration for vae_captioning_tpu.
+
+Mirrors the reference's hyperparameter surface (``utils/parameters.py:1-66``
+in yiyang92/vae_captioning) with the same field names and defaults, plus
+TPU-specific knobs (compute dtype, mesh shape, bucketing).
+
+Unlike the reference — a mutable class pickled for reuse
+(``main.py:305-313``) — this is a dataclass with JSON round-trip, so a
+training run's exact config can be reloaded for inference from a plain
+text file.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+PRIORS = ("Normal", "GMM", "AG")
+SAMPLE_GENS = ("greedy", "sample", "beam_search")
+OPTIMIZERS = ("SGD", "Adam", "Momentum")
+MODES = ("training", "inference")
+
+
+@dataclass
+class Config:
+    # --- model / latent space (ref utils/parameters.py:3-9) ---
+    latent_size: int = 150
+    num_clusters: int = 90      # 80 COCO classes + unused ids in 0..90
+    cnn_feature_size: int = 4096  # VGG16 fc2 output width
+
+    # --- training schedule (ref utils/parameters.py:5-8,29-32,55,64) ---
+    num_epochs: int = 20
+    learning_rate: float = 0.0005
+    num_captions: int = 5       # captions used per image per step (1-5)
+    batch_size: int = 32
+    optimizer: str = "Adam"     # SGD | Adam | Momentum
+    lstm_clip_by_norm: float = 5.0
+    num_epochs_per_decay: int = 5
+    num_ex_per_epoch: int = 150000
+    ann_param: float = 0.0      # KL annealing ramp speed; <=1 disables
+
+    # --- decoding (ref utils/parameters.py:11-18,28-29) ---
+    temperature: float = 1.0
+    sample_gen: str = "beam_search"  # greedy | sample | beam_search
+    beam_size: int = 10
+    gen_max_len: int = 30
+    len_norm_f: float = 0.7     # beam length-normalization exponent
+
+    # --- encoder (ref utils/parameters.py:20-21) ---
+    encoder_rnn_layers: int = 1
+    encoder_hidden: int = 512
+
+    # --- decoder (ref utils/parameters.py:23-31) ---
+    std: float = 0.1            # decode-time prior std, z ~ N(mean, std)
+    decoder_hidden: int = 512
+    decoder_rnn_layers: int = 1
+    dec_keep_rate: float = 1.0  # caption-input dropout keep rate
+    dec_lstm_drop: float = 1.0  # LSTM output dropout keep rate
+    embed_size: int = 256
+    gen_z_samples: int = 100    # z samples per example (paper: 100)
+
+    # --- run control (ref utils/parameters.py:34-40,53-54,62-63) ---
+    restore: bool = False
+    no_encoder: bool = False
+    vocab_size: Optional[int] = None   # set during data load
+    gen_name: str = "00"
+    checkpoint: str = "last_run"
+    max_checkpoints_to_keep: int = 5
+    mode: str = "training"
+    prior: str = "Normal"       # Normal | GMM | AG
+    use_c_v: bool = False
+    logging: bool = False
+    log_dir: str = "./model_logs/"
+    save_params: bool = False
+
+    # --- fine-tuning the CNN (ref utils/parameters.py:42-51) ---
+    fine_tune: bool = False
+    fine_tune_top: bool = True
+    fine_tune_fe: bool = True
+    cnn_lr: float = 0.00001
+    cnn_optimizer: str = "Adam"
+    cnn_dropout: float = 0.5    # keep rate
+    weight_decay: float = 0.00004
+
+    # --- data / paths (ref utils/parameters.py:41-44,57-60,65) ---
+    coco_dir: str = "./mscoco/"
+    hdf5_file: str = ""         # derived: <coco_dir>/train_val.hdf5
+    use_hdf5: bool = False
+    gen_val_captions: int = 4000  # -1: no repartition
+    keep_words: int = 3         # vocab min-count
+    cap_max_length: int = 100
+    image_net_weights_path: str = "./vgg16_weights.npz"
+    checkpoint_dir: str = "./checkpoints"
+    cache_dir: str = "./cache"  # feature / vocab / cluster-mean caches
+    obj_vectors_dir: str = "./obj_vectors"
+
+    # --- TPU-native knobs (no reference equivalent) ---
+    seed: int = 42
+    compute_dtype: str = "bfloat16"  # matmul/conv compute dtype
+    bucket_multiple: int = 8    # pad caption length to a multiple of this
+    extract_batch_size: int = 64  # VGG16 feature-extraction batch
+    mesh_axis: str = "dp"       # data-parallel mesh axis name
+    profile: bool = False       # emit jax.profiler traces
+    debug_nans: bool = False
+
+    def __post_init__(self):
+        if not self.hdf5_file:
+            self.hdf5_file = os.path.join(self.coco_dir, "train_val.hdf5")
+        self.validate()
+
+    # ------------------------------------------------------------------
+    def validate(self) -> None:
+        if self.prior not in PRIORS:
+            raise ValueError(f"prior must be one of {PRIORS}, got {self.prior!r}")
+        if self.sample_gen not in SAMPLE_GENS:
+            raise ValueError(
+                f"sample_gen must be one of {SAMPLE_GENS}, got {self.sample_gen!r}")
+        if self.optimizer not in OPTIMIZERS or self.cnn_optimizer not in OPTIMIZERS:
+            raise ValueError(f"optimizer must be one of {OPTIMIZERS}")
+        if self.mode not in MODES:
+            raise ValueError(f"mode must be one of {MODES}, got {self.mode!r}")
+        if not 1 <= self.num_captions <= 5:
+            raise ValueError("num_captions must be in [1, 5]")
+
+    # ------------------------------------------------------------------
+    @property
+    def needs_cluster_vectors(self) -> bool:
+        """Cluster vectors are consumed when requested or required by the
+        prior (ref main.py:52-56)."""
+        return self.use_c_v or self.prior in ("GMM", "AG")
+
+    # ------------------------------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    def save(self, path: str) -> None:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def from_json(cls, text: str) -> "Config":
+        raw = json.loads(text)
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in raw.items() if k in known})
+
+    @classmethod
+    def load(cls, path: str) -> "Config":
+        with open(path) as f:
+            return cls.from_json(f.read())
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+# ----------------------------------------------------------------------
+# CLI overlay with the reference's flag names (ref utils/parameters.py:68-159)
+# ----------------------------------------------------------------------
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    d = Config()
+    p = argparse.ArgumentParser(
+        description="Train / run the TPU-native VAE captioning models. "
+        "Flags mirror the reference CLI; every Config field can also be "
+        "set via --set key=value.")
+    p.add_argument("--lr", type=float, default=d.learning_rate, dest="lr")
+    p.add_argument("--embed_dim", type=int, default=d.embed_size, dest="embed")
+    p.add_argument("--enc_hid", type=int, default=d.encoder_hidden)
+    p.add_argument("--dec_hid", type=int, default=d.decoder_hidden)
+    p.add_argument("--latent", type=int, default=d.latent_size)
+    p.add_argument("--restore", action="store_true")
+    p.add_argument("--coco_dir", default=d.coco_dir)
+    p.add_argument("--epochs", type=int, default=d.num_epochs)
+    p.add_argument("--bs", type=int, default=d.batch_size)
+    p.add_argument("--no_encoder", action="store_true")
+    p.add_argument("--temperature", type=float, default=d.temperature)
+    p.add_argument("--gen_name", default=d.gen_name)
+    p.add_argument("--dec_drop", type=float, default=d.dec_keep_rate)
+    p.add_argument("--gen_z_samples", type=int, default=d.gen_z_samples)
+    p.add_argument("--ann_param", type=float, default=d.ann_param)
+    p.add_argument("--dec_lstm_drop", type=float, default=d.dec_lstm_drop)
+    p.add_argument("--sample_gen", default=d.sample_gen, choices=SAMPLE_GENS)
+    p.add_argument("--checkpoint", default=d.checkpoint)
+    p.add_argument("--optimizer", default=d.optimizer, choices=OPTIMIZERS)
+    p.add_argument("--c_v", action="store_true",
+                   help="use detected-object cluster vectors")
+    p.add_argument("--std", type=float, default=d.std)
+    p.add_argument("--save_params", action="store_true",
+                   help="save resolved config JSON next to checkpoints")
+    p.add_argument("--prior", default=d.prior, choices=PRIORS)
+    p.add_argument("--fine_tune", action="store_true")
+    p.add_argument("--mode", default=d.mode, choices=MODES)
+    p.add_argument("--beam_size", type=int, default=d.beam_size)
+    p.add_argument("--config", default=None,
+                   help="load a saved config JSON before applying flags")
+    p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
+                   help="override any Config field, e.g. --set seed=7")
+    return p
+
+
+def _coerce(value: str, target: Any) -> Any:
+    if isinstance(target, bool):
+        return value.lower() in ("1", "true", "yes", "on")
+    if isinstance(target, int):
+        return int(value)
+    if isinstance(target, float):
+        return float(value)
+    return value
+
+
+def parse_args(argv: Optional[list] = None) -> Config:
+    """Build a Config from CLI flags (reference-compatible names)."""
+    args = build_arg_parser().parse_args(argv)
+    cfg = Config.load(args.config) if args.config else Config()
+    cfg = cfg.replace(
+        learning_rate=args.lr,
+        embed_size=args.embed,
+        encoder_hidden=args.enc_hid,
+        decoder_hidden=args.dec_hid,
+        latent_size=args.latent,
+        restore=args.restore,
+        coco_dir=args.coco_dir,
+        num_epochs=args.epochs,
+        batch_size=args.bs,
+        no_encoder=args.no_encoder,
+        temperature=args.temperature,
+        gen_name=args.gen_name,
+        dec_keep_rate=args.dec_drop,
+        gen_z_samples=args.gen_z_samples,
+        ann_param=args.ann_param,
+        dec_lstm_drop=args.dec_lstm_drop,
+        sample_gen=args.sample_gen,
+        checkpoint=args.checkpoint,
+        optimizer=args.optimizer,
+        use_c_v=args.c_v,
+        std=args.std,
+        save_params=args.save_params,
+        prior=args.prior,
+        fine_tune=args.fine_tune,
+        mode=args.mode,
+        beam_size=args.beam_size,
+        hdf5_file="",  # re-derive from coco_dir
+    )
+    overrides = {}
+    defaults = Config()
+    for item in args.set:
+        if "=" not in item:
+            raise ValueError(f"--set expects KEY=VALUE, got {item!r}")
+        key, value = item.split("=", 1)
+        if not hasattr(defaults, key):
+            raise ValueError(f"unknown Config field {key!r}")
+        overrides[key] = _coerce(value, getattr(defaults, key))
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    cfg.validate()
+    return cfg
