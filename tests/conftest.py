@@ -13,6 +13,12 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The axon environment pins JAX_PLATFORMS=axon via a site hook that wins
+# over the env var — force the platform through the config API as well.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import json  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,213 @@
+"""Model-layer tests: VGG16 (+ npz weight loading), the four CVAE
+variants' forward passes, and loss assembly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vae_captioning_tpu.config import Config
+from vae_captioning_tpu.models.cvae import CVAEModel, compute_loss
+from vae_captioning_tpu.models.vgg16 import VGG16, load_npz_weights
+from vae_captioning_tpu.ops import distributions as dist
+
+VOCAB = 50
+
+
+def small_config(**kw) -> Config:
+    base = dict(embed_size=16, latent_size=8, encoder_hidden=16,
+                decoder_hidden=16, gen_z_samples=4, batch_size=2)
+    base.update(kw)
+    cfg = Config(**base)
+    cfg.vocab_size = VOCAB
+    return cfg
+
+
+def make_batch(B=2, K=1, T=8, seed=0):
+    rng = np.random.default_rng(seed)
+    features = rng.normal(size=(B, 4096)).astype(np.float32)
+    dec = rng.integers(1, VOCAB, size=(B * K, T)).astype(np.int32)
+    enc = rng.integers(1, VOCAB, size=(B * K, T)).astype(np.int32)
+    lengths = rng.integers(2, T, size=(B * K,)).astype(np.int32)
+    for i, n in enumerate(lengths):  # zero the padding like the batcher
+        dec[i, n:] = 0
+        enc[i, n:] = 0
+    c_v = rng.random((B, 90)).astype(np.float32)
+    c_v /= c_v.sum(-1, keepdims=True)
+    return (jnp.asarray(features), jnp.asarray(enc), jnp.asarray(dec),
+            jnp.asarray(lengths), jnp.asarray(c_v))
+
+
+def init_and_forward(cfg, B=2, K=1, T=8):
+    model = CVAEModel.from_config(cfg)
+    features, enc, dec, lengths, c_v = make_batch(B, K, T)
+    c_v_arg = c_v if cfg.needs_cluster_vectors else None
+    rngs = {"params": jax.random.PRNGKey(0), "z": jax.random.PRNGKey(1),
+            "sample": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)}
+    variables = model.init(rngs, features, enc, dec, lengths, c_v_arg)
+    out = model.apply(variables, features, enc, dec, lengths, c_v_arg,
+                      rngs={k: v for k, v in rngs.items() if k != "params"})
+    return model, variables, out, (features, enc, dec, lengths, c_v)
+
+
+# ---------------------------------------------------------------- VGG16
+
+def test_vgg16_forward_shape():
+    model = VGG16()
+    imgs = jnp.zeros((2, 224, 224, 3))
+    params = model.init(jax.random.PRNGKey(0), imgs)
+    out = model.apply(params, imgs)
+    assert out.shape == (2, 4096)
+    assert (np.asarray(out) >= 0).all()  # fc2 is post-ReLU (ref :235)
+
+
+def test_vgg16_npz_loading(vgg_npz):
+    params = load_npz_weights(vgg_npz)
+    assert set(params) == {
+        "conv1_1", "conv1_2", "conv2_1", "conv2_2", "conv3_1", "conv3_2",
+        "conv3_3", "conv4_1", "conv4_2", "conv4_3", "conv5_1", "conv5_2",
+        "conv5_3", "fc1", "fc2"}
+    model = VGG16()
+    imgs = jnp.asarray(np.random.default_rng(0)
+                       .uniform(0, 255, (1, 224, 224, 3)).astype(np.float32))
+    out = model.apply({"params": params}, imgs)
+    assert out.shape == (1, 4096)
+    assert np.isfinite(np.asarray(out)).all()
+    # fc8 must NOT be in the loaded tree (first-30-arrays semantics)
+    assert "fc8" not in params
+
+
+def test_vgg16_mean_subtraction():
+    """Feeding exactly the ImageNet mean must zero the input to conv1."""
+    model = VGG16()
+    mean_img = jnp.broadcast_to(
+        jnp.asarray([123.68, 116.779, 103.939]), (1, 224, 224, 3))
+    params = model.init(jax.random.PRNGKey(0), mean_img)
+    # zero conv biases → output of every layer on zero input is zero → fc2 0
+    zeroed = jax.tree.map(jnp.zeros_like, params)
+    out = model.apply(zeroed, mean_img)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+# ---------------------------------------------------------------- variants
+
+def test_baseline_lstm_forward():
+    cfg = small_config(no_encoder=True)
+    _, _, out, (_, _, dec, _, _) = init_and_forward(cfg)
+    assert out["logits"].shape == (*dec.shape, VOCAB)
+    assert "q_mean" not in out
+
+
+def test_normal_cvae_forward():
+    cfg = small_config(prior="Normal")
+    _, variables, out, (_, _, dec, _, _) = init_and_forward(cfg)
+    assert out["logits"].shape == (*dec.shape, VOCAB)
+    assert out["q_mean"].shape == (2, cfg.latent_size)
+    assert (np.asarray(out["q_std"]) > 0).all()
+
+
+def test_gmm_cvae_forward():
+    cfg = small_config(prior="GMM")
+    _, _, out, _ = init_and_forward(cfg)
+    assert out["q_mean"].shape == (2, cfg.latent_size)
+
+
+def test_ag_cvae_forward():
+    cfg = small_config(prior="AG", use_c_v=True)
+    _, _, out, _ = init_and_forward(cfg)
+    assert out["q_mean"].shape == (2, cfg.latent_size)
+    assert "c_v" in out
+
+
+def test_multi_caption_tiling():
+    cfg = small_config(prior="Normal")
+    _, _, out, (_, _, dec, _, _) = init_and_forward(cfg, B=2, K=3, T=8)
+    assert out["logits"].shape == (6, 8, VOCAB)
+    assert out["q_mean"].shape == (6, cfg.latent_size)
+
+
+# ---------------------------------------------------------------- loss
+
+@pytest.mark.parametrize("prior,no_enc,use_cv", [
+    ("Normal", True, False), ("Normal", False, False),
+    ("GMM", False, True), ("AG", False, True)])
+def test_loss_finite_all_variants(prior, no_enc, use_cv):
+    cfg = small_config(prior=prior, no_encoder=no_enc, use_c_v=use_cv)
+    model, variables, out, (_, enc, dec, lengths, c_v) = init_and_forward(cfg)
+    cluster_means = jnp.asarray(dist.init_cluster_means(
+        cfg.num_clusters, cfg.latent_size, cfg.seed))
+    losses = compute_loss(out, enc, prior=prior, no_encoder=no_enc,
+                          cluster_means=cluster_means)
+    assert np.isfinite(float(losses["loss"]))
+    assert float(losses["rec_loss"]) > 0
+    if no_enc:
+        assert float(losses["kld"]) == 0.0
+
+
+def test_loss_masks_padding():
+    """Changing logits at padded positions must not change the loss."""
+    cfg = small_config(prior="Normal")
+    _, _, out, (_, enc, dec, lengths, _) = init_and_forward(cfg)
+    l1 = compute_loss(out, enc, prior="Normal", no_encoder=False)
+    pad_mask = (np.asarray(enc) == 0)
+    bogus = np.asarray(out["logits"]).copy()
+    bogus[pad_mask] += 100.0
+    out2 = dict(out, logits=jnp.asarray(bogus))
+    l2 = compute_loss(out2, enc, prior="Normal", no_encoder=False)
+    assert float(l1["rec_loss"]) == pytest.approx(float(l2["rec_loss"]),
+                                                  rel=1e-6)
+
+
+def test_rec_loss_decreases_with_perfect_logits():
+    cfg = small_config(prior="Normal")
+    _, _, out, (_, enc, _, _, _) = init_and_forward(cfg)
+    perfect = np.full(np.asarray(out["logits"]).shape, -20.0, np.float32)
+    lab = np.asarray(enc)
+    for i in range(lab.shape[0]):
+        for t in range(lab.shape[1]):
+            perfect[i, t, lab[i, t]] = 20.0
+    out2 = dict(out, logits=jnp.asarray(perfect))
+    l = compute_loss(out2, enc, prior="Normal", no_encoder=False)
+    assert float(l["rec_loss"]) < 1e-3
+
+
+# ---------------------------------------------------------------- decode API
+
+def test_decode_init_and_step():
+    cfg = small_config(prior="AG", use_c_v=True)
+    model, variables, _, (features, _, _, _, c_v) = init_and_forward(cfg)
+    carry = model.apply(variables, features, c_v,
+                        rngs={"z": jax.random.PRNGKey(0)},
+                        method=CVAEModel.decode_init)
+    tokens = jnp.asarray([1, 2], jnp.int32)
+    carry2, logits = model.apply(variables, carry, tokens,
+                                 method=CVAEModel.decode_step)
+    assert logits.shape == (2, VOCAB)
+    # state must actually evolve
+    assert not np.allclose(np.asarray(carry[0][1]), np.asarray(carry2[0][1]))
+
+
+def test_decode_deterministic_given_rng():
+    cfg = small_config(prior="Normal")
+    model, variables, _, (features, _, _, _, _) = init_and_forward(cfg)
+    c1 = model.apply(variables, features, None,
+                     rngs={"z": jax.random.PRNGKey(5)},
+                     method=CVAEModel.decode_init)
+    c2 = model.apply(variables, features, None,
+                     rngs={"z": jax.random.PRNGKey(5)},
+                     method=CVAEModel.decode_init)
+    np.testing.assert_array_equal(np.asarray(c1[0][0]), np.asarray(c2[0][0]))
+    c3 = model.apply(variables, features, None,
+                     rngs={"z": jax.random.PRNGKey(6)},
+                     method=CVAEModel.decode_init)
+    assert not np.allclose(np.asarray(c1[0][0]), np.asarray(c3[0][0]))
+
+
+def test_baseline_decode_has_no_z():
+    """no_encoder decode_init must not need a z rng and must be
+    deterministic (ref decoder.py:103-106)."""
+    cfg = small_config(no_encoder=True)
+    model, variables, _, (features, _, _, _, _) = init_and_forward(cfg)
+    c1 = model.apply(variables, features, None, method=CVAEModel.decode_init)
+    c2 = model.apply(variables, features, None, method=CVAEModel.decode_init)
+    np.testing.assert_array_equal(np.asarray(c1[0][0]), np.asarray(c2[0][0]))

@@ -1,0 +1,212 @@
+"""ops-layer tests: KL closed forms vs scipy, sampling, annealing,
+cluster means, AG decode prior, and LSTM masking semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vae_captioning_tpu.ops import distributions as dist
+from vae_captioning_tpu.ops.lstm import LSTMCell, LSTMStack
+
+
+# ---------------------------------------------------------------- KL math
+
+def _kl_normal_scipy(mu, sigma):
+    """Exact KL(N(mu, sigma^2) || N(0, 1)) summed over dims, batch-meaned."""
+    kl = 0.5 * (sigma**2 + mu**2 - 1.0 - np.log(sigma**2))
+    return kl.sum(axis=-1).mean()
+
+
+def test_kl_standard_normal_matches_closed_form():
+    rng = np.random.default_rng(0)
+    mu = rng.normal(size=(8, 16)).astype(np.float32)
+    sigma = np.exp(rng.normal(size=(8, 16)) * 0.3).astype(np.float32)
+    got = float(dist.kl_standard_normal(jnp.asarray(mu), jnp.asarray(sigma)))
+    want = _kl_normal_scipy(mu, sigma)
+    # the reference's +1e-5 inside the log perturbs slightly
+    assert got == pytest.approx(want, rel=1e-3)
+
+
+def test_kl_standard_normal_zero_at_prior():
+    mu = jnp.zeros((4, 10))
+    sigma = jnp.ones((4, 10))
+    assert float(dist.kl_standard_normal(mu, sigma)) == pytest.approx(0.0, abs=1e-3)
+
+
+def test_kl_ag_matches_manual():
+    """AG KLD vs a direct per-dim transcription of main.py:136-145."""
+    rng = np.random.default_rng(1)
+    B, L, C = 4, 8, 90
+    mu = rng.normal(size=(B, L)).astype(np.float32)
+    std = np.exp(rng.normal(size=(B, L)) * 0.2).astype(np.float32)
+    c_v = rng.random((B, C)).astype(np.float32)
+    c_v /= c_v.sum(-1, keepdims=True)
+    c_means = dist.init_cluster_means(C, L, seed=3)
+    sig_c = 0.1
+    prior_mu = c_v @ c_means
+    inner = (0.5 + np.log(std + 1e-5) - np.log(sig_c + 1e-5)
+             - ((mu - prior_mu) ** 2 + std**2) / (2 * sig_c**2 + 1e-7))
+    want = (-0.5 * inner.sum(-1)).mean()
+    got = float(dist.kl_ag(jnp.asarray(mu), jnp.asarray(std),
+                           jnp.asarray(c_v), jnp.asarray(c_means)))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_kl_ag_zero_when_at_prior():
+    """KL should be ~0 when q equals the AG prior N(c_v@means, sigma_c)."""
+    B, L, C = 3, 6, 90
+    c_v = np.zeros((B, C), np.float32)
+    c_v[:, 5] = 1.0
+    c_means = dist.init_cluster_means(C, L, seed=0)
+    mu = jnp.asarray(c_v @ c_means)
+    std = jnp.full((B, L), 0.1)
+    got = float(dist.kl_ag(mu, std, jnp.asarray(c_v), jnp.asarray(c_means),
+                           cluster_sigma=0.1))
+    assert abs(got) < 0.01
+
+
+# ---------------------------------------------------------------- sampling
+
+def test_sample_gaussian_shape_and_stats():
+    key = jax.random.PRNGKey(0)
+    mean = jnp.broadcast_to(jnp.asarray([1.0, -2.0]), (4, 2))
+    z = dist.sample_gaussian(key, mean, jnp.asarray(0.001), 64)
+    assert z.shape == (4, 64, 2)
+    np.testing.assert_allclose(np.asarray(z.mean(axis=1)), np.asarray(mean),
+                               atol=0.001)
+
+
+def test_sample_gaussian_per_image_samples_contiguous():
+    # each image's K samples must depend only on its own mean
+    key = jax.random.PRNGKey(0)
+    mean = jnp.asarray([[0.0], [100.0]])
+    z = dist.sample_gaussian(key, mean, jnp.asarray(0.1), 8)
+    assert np.abs(np.asarray(z[0])).max() < 10
+    assert np.asarray(z[1]).min() > 90
+
+
+# ---------------------------------------------------------------- annealing
+
+def test_kl_annealing():
+    # ann_param <= 1 → constant 1 (ref main.py:166-170)
+    assert float(dist.kl_annealing(jnp.asarray(0), 0.0)) == 1.0
+    assert float(dist.kl_annealing(jnp.asarray(0), 1.0)) == 1.0
+    # ramp: ~0 early, 0.5 at 1000*ann_param, →1 late
+    a = dist.kl_annealing
+    assert float(a(jnp.asarray(0), 5.0)) < 0.01
+    assert float(a(jnp.asarray(5000), 5.0)) == pytest.approx(0.5, abs=1e-5)
+    assert float(a(jnp.asarray(100000), 5.0)) == pytest.approx(1.0, abs=1e-5)
+    # force_one (fine_tune / restore, ref main.py:163-164)
+    assert float(a(jnp.asarray(0), 5.0, force_one=True)) == 1.0
+
+
+# ---------------------------------------------------------------- clusters
+
+def test_cluster_means_unit_norm_and_deterministic():
+    m1 = dist.init_cluster_means(90, 150, seed=7)
+    m2 = dist.init_cluster_means(90, 150, seed=7)
+    np.testing.assert_array_equal(m1, m2)
+    np.testing.assert_allclose(np.linalg.norm(m1, axis=1), 1.0, rtol=1e-5)
+    m3 = dist.init_cluster_means(90, 150, seed=8)
+    assert not np.allclose(m1, m3)
+
+
+def test_ag_prior_mean_active_clusters():
+    C, L = 90, 4
+    means = jnp.asarray(dist.init_cluster_means(C, L, seed=0))
+    c_v = np.zeros((2, C), np.float32)
+    c_v[0, 3] = 0.5
+    c_v[0, 10] = 0.5
+    # image 1: no detections → fallback over used classes
+    out = dist.ag_prior_mean(jnp.asarray(c_v), means)
+    want0 = (np.asarray(means)[3] + np.asarray(means)[10]) / 2
+    np.testing.assert_allclose(np.asarray(out[0]), want0, rtol=1e-5)
+    # fallback excludes the blacklisted ids (shifted into 90-dim space)
+    used = np.ones(C, np.float32)
+    for cls in dist.AG_UNUSED_CLASSES:
+        if 0 <= cls - 1 < C:
+            used[cls - 1] = 0.0
+    want1 = (used[:, None] * np.asarray(means)).sum(0) / used.sum()
+    np.testing.assert_allclose(np.asarray(out[1]), want1, rtol=1e-4)
+
+
+# ---------------------------------------------------------------- LSTM
+
+def test_lstm_cell_step():
+    cell = LSTMCell(hidden_size=8)
+    x = jnp.ones((2, 4))
+    carry = (jnp.zeros((2, 8)), jnp.zeros((2, 8)))
+    params = cell.init(jax.random.PRNGKey(0), carry, x)
+    (c, h), out = cell.apply(params, carry, x)
+    assert c.shape == (2, 8) and h.shape == (2, 8)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(h))
+    assert np.abs(np.asarray(h)).max() <= 1.0  # tanh-bounded
+
+
+def test_lstm_masked_scan_copy_through():
+    """Carry must freeze at t >= length; outputs zero (dynamic_rnn parity)."""
+    stack = LSTMStack(hidden_size=8)
+    B, T, E = 3, 6, 4
+    rng = np.random.default_rng(0)
+    xs = jnp.asarray(rng.normal(size=(B, T, E)).astype(np.float32))
+    lengths = jnp.asarray([6, 3, 1])
+    init = stack.init(jax.random.PRNGKey(0),
+                      stack.zero_carry(B), xs, lengths)
+    carry, outputs = stack.apply(init, stack.zero_carry(B), xs, lengths)
+    assert outputs.shape == (B, T, 8)
+    # outputs beyond length are zeros
+    assert np.abs(np.asarray(outputs[1, 3:])).max() == 0.0
+    assert np.abs(np.asarray(outputs[2, 1:])).max() == 0.0
+    assert np.abs(np.asarray(outputs[0])).min() >= 0.0  # full length: no zeroing
+
+    # final carry equals a manual unrolled run up to each length
+    def manual(b, n):
+        c = stack.zero_carry(1)
+        for t in range(n):
+            c, _ = stack.apply(init, c, xs[b:b+1, t], method=stack.step)
+        return c
+    for b, n in [(0, 6), (1, 3), (2, 1)]:
+        want = manual(b, n)
+        np.testing.assert_allclose(np.asarray(carry[0][1][b]),
+                                   np.asarray(want[0][1][0]), rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(carry[0][0][b]),
+                                   np.asarray(want[0][0][0]), rtol=2e-5, atol=1e-6)
+
+
+def test_lstm_step_equals_scan_first_step():
+    stack = LSTMStack(hidden_size=8)
+    B, E = 2, 4
+    xs = jnp.ones((B, 1, E))
+    init = stack.init(jax.random.PRNGKey(1), stack.zero_carry(B), xs,
+                      jnp.asarray([1, 1]))
+    carry_scan, _ = stack.apply(init, stack.zero_carry(B), xs,
+                                jnp.asarray([1, 1]))
+    carry_step, _ = stack.apply(init, stack.zero_carry(B), xs[:, 0],
+                                method=stack.step)
+    np.testing.assert_allclose(np.asarray(carry_scan[0][0]),
+                               np.asarray(carry_step[0][0]), rtol=1e-6)
+
+
+def test_lstm_multi_layer():
+    stack = LSTMStack(hidden_size=8, num_layers=2)
+    B, T, E = 2, 3, 4
+    xs = jnp.ones((B, T, E))
+    lengths = jnp.asarray([3, 2])
+    init = stack.init(jax.random.PRNGKey(0), stack.zero_carry(B), xs, lengths)
+    carry, outputs = stack.apply(init, stack.zero_carry(B), xs, lengths)
+    assert len(carry) == 2
+    assert outputs.shape == (B, T, 8)
+
+
+def test_lstm_forget_bias():
+    """With zero weights, forget gate must be sigmoid(1.0) ≈ 0.731."""
+    cell = LSTMCell(hidden_size=2)
+    x = jnp.zeros((1, 2))
+    c0 = jnp.ones((1, 2))
+    h0 = jnp.zeros((1, 2))
+    params = cell.init(jax.random.PRNGKey(0), (c0, h0), x)
+    zeroed = jax.tree.map(jnp.zeros_like, params)
+    (c1, _), _ = cell.apply(zeroed, (c0, h0), x)
+    np.testing.assert_allclose(np.asarray(c1), 1 / (1 + np.exp(-1.0)),
+                               rtol=1e-5)

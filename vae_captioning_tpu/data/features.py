@@ -96,10 +96,10 @@ def extract_features_from_dir(
     if not paths:
         raise FileNotFoundError(f"no jpgs in {data_dir}")
     model = VGG16(compute_dtype=jnp.dtype(compute_dtype))
-    params = load_npz_weights(weights_path)
+    params = jax.device_put(load_npz_weights(weights_path))
 
     @jax.jit
-    def fc2(images):
+    def fc2(params, images):
         return model.apply({"params": params}, images)
 
     feats = np.empty((len(paths), 4096), dtype=np.float32)
@@ -117,7 +117,7 @@ def extract_features_from_dir(
             pad = np.zeros((batch_size - len(chunk), *images.shape[1:]),
                            dtype=images.dtype)
             images = np.concatenate([images, pad])
-        out = np.asarray(fc2(jnp.asarray(images)), dtype=np.float32)
+        out = np.asarray(fc2(params, jnp.asarray(images)), dtype=np.float32)
         feats[start:start + len(chunk)] = out[: len(chunk)]
     store = FeatureStore(paths, feats)
     if cache_path:

@@ -1,0 +1,223 @@
+"""The assembled captioning model family + loss.
+
+One Flax module covers all four reference variants (``README.md:5-6``):
+
+  * ``no_encoder=True``  → VGG16+LSTM baseline (no z, rec loss only)
+  * ``prior='Normal'``   → CVAE with standard-normal prior
+  * ``prior='GMM'``      → GMM-prior CVAE (KL is the Normal formula — the
+                           reference's acknowledged TODO, ``main.py:125-135``)
+  * ``prior='AG'``       → additive-Gaussian CVAE over cluster vectors
+
+Graph-assembly parity (``main.py:84-117``): a single shared ``imf_emb``
+dense maps fc2 features into embedding space for both encoder and
+decoder; a single shared ``cv_emb`` embeds cluster vectors; features are
+tiled on device when K captions per image are used (``main.py:84-89``).
+
+z handling: K_z = ``gen_z_samples`` reparameterized samples per example,
+concatenated per image to ``[B, K_z·L]`` and densely projected — the
+clean form of the reference's sample-major reshape
+(``vae_model/decoder.py:108-113``; see ops/distributions.sample_gaussian).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vae_captioning_tpu.config import Config
+from vae_captioning_tpu.models.decoder import Decoder
+from vae_captioning_tpu.models.encoder import Encoder
+from vae_captioning_tpu.ops import distributions as dist
+from vae_captioning_tpu.ops.lstm import Carry
+
+
+class CVAEModel(nn.Module):
+    """Flagship model.  Construct via ``CVAEModel.from_config(cfg)``."""
+
+    vocab_size: int
+    embed_size: int = 256
+    latent_size: int = 150
+    encoder_hidden: int = 512
+    decoder_hidden: int = 512
+    encoder_layers: int = 1
+    decoder_layers: int = 1
+    num_clusters: int = 90
+    gen_z_samples: int = 100
+    prior: str = "Normal"
+    no_encoder: bool = False
+    use_c_v: bool = False
+    dec_keep_rate: float = 1.0
+    dec_lstm_drop: float = 1.0
+    decode_std: float = 0.1
+    cluster_seed: int = 0
+    compute_dtype: Any = jnp.float32
+
+    @classmethod
+    def from_config(cls, cfg: Config) -> "CVAEModel":
+        assert cfg.vocab_size, "set cfg.vocab_size (from the Vocabulary) first"
+        return cls(
+            vocab_size=cfg.vocab_size,
+            embed_size=cfg.embed_size,
+            latent_size=cfg.latent_size,
+            encoder_hidden=cfg.encoder_hidden,
+            decoder_hidden=cfg.decoder_hidden,
+            encoder_layers=cfg.encoder_rnn_layers,
+            decoder_layers=cfg.decoder_rnn_layers,
+            num_clusters=cfg.num_clusters,
+            gen_z_samples=cfg.gen_z_samples,
+            prior=cfg.prior,
+            no_encoder=cfg.no_encoder,
+            use_c_v=cfg.use_c_v,
+            dec_keep_rate=cfg.dec_keep_rate,
+            dec_lstm_drop=cfg.dec_lstm_drop,
+            decode_std=cfg.std,
+            cluster_seed=cfg.seed,
+            compute_dtype=jnp.dtype(cfg.compute_dtype),
+        )
+
+    # ------------------------------------------------------------------
+    def setup(self):
+        self.imf_emb = nn.Dense(self.embed_size, name="imf_emb")  # main.py:94
+        if self._needs_c_v:
+            self.cv_emb = nn.Dense(self.embed_size, name="cv_emb")  # main.py:108
+        if not self.no_encoder:
+            self.encoder = Encoder(
+                vocab_size=self.vocab_size, embed_size=self.embed_size,
+                hidden_size=self.encoder_hidden, latent_size=self.latent_size,
+                num_layers=self.encoder_layers, prior=self.prior,
+                num_clusters=self.num_clusters, use_c_v=self.use_c_v,
+                compute_dtype=self.compute_dtype, name="encoder")
+        self.decoder = Decoder(
+            vocab_size=self.vocab_size, embed_size=self.embed_size,
+            hidden_size=self.decoder_hidden, num_layers=self.decoder_layers,
+            use_c_v=self.use_c_v, dec_keep_rate=self.dec_keep_rate,
+            dec_lstm_drop=self.dec_lstm_drop,
+            compute_dtype=self.compute_dtype, name="decoder")
+        # fixed (non-trainable) cluster means, deterministic in the seed —
+        # replaces the pickled matrix of utils/vae_utils.py:6-31
+        self.cluster_means = jnp.asarray(dist.init_cluster_means(
+            self.num_clusters, self.latent_size, self.cluster_seed))
+
+    @property
+    def _needs_c_v(self) -> bool:
+        return self.use_c_v or self.prior in ("GMM", "AG")
+
+    # ------------------------------------------------------------------
+    def _embed_conditioning(self, features: jax.Array,
+                            c_v: Optional[jax.Array]):
+        images_fv = self.imf_emb(features)
+        c_emb = None
+        if self._needs_c_v and c_v is not None:
+            c_emb = self.cv_emb(c_v)
+        return images_fv, c_emb
+
+    # ------------------------------------------------------------------
+    def __call__(
+        self,
+        features: jax.Array,       # [B, 4096] fc2 features
+        enc_captions: jax.Array,   # [B*K, T]  (w1..wN <EOS>) — encoder input
+        dec_captions: jax.Array,   # [B*K, T]  (<BOS> w1..wN) — decoder input
+        lengths: jax.Array,        # [B*K]
+        c_v: Optional[jax.Array] = None,  # [B, 90]
+        deterministic: bool = True,
+    ) -> Dict[str, jax.Array]:
+        """Training/eval forward.  K = captions per image is inferred from
+        the leading dims and features are tiled on device (main.py:84-89)."""
+        B = features.shape[0]
+        K = enc_captions.shape[0] // B
+        images_fv, c_emb = self._embed_conditioning(features, c_v)
+        if K > 1:
+            images_fv = jnp.repeat(images_fv, K, axis=0)
+            c_emb = None if c_emb is None else jnp.repeat(c_emb, K, axis=0)
+            c_v = None if c_v is None else jnp.repeat(c_v, K, axis=0)
+
+        out: Dict[str, jax.Array] = {}
+        z_flat = None
+        if not self.no_encoder:
+            q_mean, q_std = self.encoder(images_fv, enc_captions, lengths,
+                                         c_emb=c_emb, c_v=c_v)
+            z = dist.sample_gaussian(self.make_rng("z"), q_mean, q_std,
+                                     self.gen_z_samples)  # [B*K, K_z, L]
+            z_flat = z.reshape(z.shape[0], -1)
+            out["q_mean"], out["q_std"] = q_mean, q_std
+
+        carry = self.decoder.init_state(images_fv, c_emb, z_flat,
+                                        deterministic)
+        out["logits"] = self.decoder.teacher_forcing(
+            carry, dec_captions, lengths, deterministic)
+        if c_v is not None:
+            out["c_v"] = c_v
+        return out
+
+    # ------------------------------------------------------------------
+    def decode_init(
+        self,
+        features: jax.Array,               # [B, 4096]
+        c_v: Optional[jax.Array] = None,   # [B, 90]
+    ) -> Carry:
+        """Generation-time initial LSTM state (ref decoder.py:41-114,
+        gen_mode): z ~ N(z_mean, decode_std) with z_mean = 0, except the
+        AG prior which centers on the image's active cluster means."""
+        B = features.shape[0]
+        images_fv, c_emb = self._embed_conditioning(features, c_v)
+        z_flat = None
+        if not self.no_encoder:
+            z_mean = jnp.zeros((B, self.latent_size), jnp.float32)
+            if self.prior == "AG" and c_v is not None:
+                z_mean = dist.ag_prior_mean(c_v, self.cluster_means)
+            z = dist.sample_gaussian(self.make_rng("z"), z_mean,
+                                     jnp.asarray(self.decode_std),
+                                     self.gen_z_samples)
+            z_flat = z.reshape(B, -1)
+        return self.decoder.init_state(images_fv, c_emb, z_flat,
+                                       deterministic=True)
+
+    def decode_step(self, carry: Carry,
+                    tokens: jax.Array) -> Tuple[Carry, jax.Array]:
+        """tokens [B] → (carry, logits [B, V])."""
+        return self.decoder.step(carry, tokens)
+
+
+# ----------------------------------------------------------------------
+# loss assembly (ref main.py:118-177)
+# ----------------------------------------------------------------------
+
+def compute_loss(
+    outputs: Dict[str, jax.Array],
+    labels: jax.Array,            # [B*K, T], 0 = PAD
+    *,
+    prior: str,
+    no_encoder: bool,
+    cluster_means: Optional[jax.Array] = None,
+    cluster_sigma: float = 0.1,
+    annealing: jax.Array | float = 1.0,
+) -> Dict[str, jax.Array]:
+    """Masked CE + prior KL + annealing → lower bound.
+
+    rec: sparse softmax CE over all positions, PAD masked via label sign,
+    mean over real tokens (main.py:152-158).  total = rec + ann·kld/10 —
+    the reference's fixed /10 KL weight (main.py:172-174).
+    """
+    import optax
+
+    logits = outputs["logits"]
+    ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    mask = (labels != 0).astype(jnp.float32)
+    rec_loss = jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+    if no_encoder:
+        kld = jnp.asarray(0.0, jnp.float32)
+    elif prior == "AG":
+        kld = dist.kl_ag(outputs["q_mean"], outputs["q_std"],
+                         outputs["c_v"], cluster_means, cluster_sigma)
+    else:  # Normal; GMM uses the same formula (ref TODO, main.py:125-135)
+        kld = dist.kl_standard_normal(outputs["q_mean"], outputs["q_std"])
+
+    annealing = jnp.asarray(annealing, jnp.float32)
+    lower_bound = rec_loss + annealing * kld / 10.0
+    return {"loss": lower_bound, "rec_loss": rec_loss, "kld": kld,
+            "annealing": annealing}

@@ -1,0 +1,97 @@
+"""CVAE recognition network q(z | x, f(I)) with Normal / GMM / AG heads.
+
+Rebuilds ``vae_model/encoder.py:24-110`` TPU-first:
+
+  * The LSTM init-state protocol is preserved: step the cell once on the
+    embedded image feature, optionally once more on the embedded cluster
+    vector, then run the caption (``:38-48``).
+  * The 90 per-cluster (μ, logσ) heads of GMM/AG are **one** dense
+    producing ``[B, 90, L]`` — one MXU matmul instead of 90 tiny layers
+    (``:76-99`` builds 90 separate variable scopes).
+  * GMM cluster selection: the reference passes the probability vector
+    to ``tf.multinomial``, which expects *logits* — effectively sampling
+    near-uniformly (``:72``).  We sample from the actual categorical
+    distribution over c_v (zero-sum vectors fall back to uniform);
+    documented deviation, CIDEr-validated.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vae_captioning_tpu.ops.lstm import LSTMStack
+
+
+class Encoder(nn.Module):
+    vocab_size: int
+    embed_size: int
+    hidden_size: int
+    latent_size: int
+    num_layers: int = 1
+    prior: str = "Normal"          # Normal | GMM | AG
+    num_clusters: int = 90
+    use_c_v: bool = False
+    compute_dtype: Any = jnp.float32
+
+    def setup(self):
+        self.embedding = nn.Embed(self.vocab_size, self.embed_size,
+                                  name="enc_embeddings")
+        self.lstm = LSTMStack(self.hidden_size, self.num_layers,
+                              self.compute_dtype, name="lstm")
+        if self.prior == "Normal":
+            self.mean_head = nn.Dense(self.latent_size, name="lz_mean")
+            self.logstd_head = nn.Dense(self.latent_size, name="lz_logstd")
+        else:  # GMM / AG: fused per-cluster heads
+            self.mean_head = nn.Dense(self.num_clusters * self.latent_size,
+                                      name="cluster_means")
+            self.logstd_head = nn.Dense(self.num_clusters * self.latent_size,
+                                        name="cluster_logstds")
+
+    def __call__(
+        self,
+        images_fv: jax.Array,            # [B, E] embedded image feature
+        captions: jax.Array,             # [B, T] token ids (w1..wN <EOS>)
+        lengths: jax.Array,              # [B]
+        c_emb: Optional[jax.Array] = None,   # [B, E] embedded cluster vec
+        c_v: Optional[jax.Array] = None,     # [B, 90] raw cluster weights
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Returns the posterior (mean, std), each [B, L]."""
+        B = images_fv.shape[0]
+        carry = self.lstm.zero_carry(B)
+        carry, _ = self.lstm.step(carry, images_fv)
+        if c_emb is not None and self.use_c_v:
+            carry, _ = self.lstm.step(carry, c_emb)
+        carry, _ = self.lstm(carry, self.embedding(captions), lengths)
+        h = carry[-1][1]  # top-layer hidden at the last valid step (ref :58)
+
+        if self.prior == "Normal":
+            mean = self.mean_head(h)
+            std = jnp.exp(self.logstd_head(h))
+            return mean, std
+
+        K, L = self.num_clusters, self.latent_size
+        means = self.mean_head(h).reshape(B, K, L)
+        stds = jnp.exp(self.logstd_head(h)).reshape(B, K, L)
+
+        if self.prior == "GMM":
+            assert c_v is not None, "GMM prior requires cluster vectors"
+            total = jnp.sum(c_v, axis=-1, keepdims=True)
+            probs = jnp.where(total > 0, c_v / jnp.maximum(total, 1e-9),
+                              jnp.ones_like(c_v) / K)
+            cluster = jax.random.categorical(
+                self.make_rng("sample"), jnp.log(probs + 1e-9), axis=-1)  # [B]
+            mean = jnp.take_along_axis(
+                means, cluster[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+            std = jnp.take_along_axis(
+                stds, cluster[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+            return mean, std
+
+        # AG: convex combination by the cluster weights (ref :105-107)
+        assert c_v is not None, "AG prior requires cluster vectors"
+        mean = jnp.einsum("bk,bkl->bl", c_v, means)
+        std = jnp.einsum("bk,bkl->bl", c_v, stds)
+        return mean, std

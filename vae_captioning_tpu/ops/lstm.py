@@ -1,0 +1,134 @@
+"""TPU-native LSTM machinery.
+
+Replaces the reference's cell plumbing (``utils/rnn_model.py:7-51``:
+MultiRNNCell + DropoutWrapper + ``rnn_placeholders`` state injection) and
+``tf.nn.dynamic_rnn``.  Design:
+
+  * One **fused cell**: a single ``[E+H, 4H]`` matmul per step — one MXU
+    call instead of four small ones.  Gate order (i, f, g, o) and the
+    TF-LSTMCell ``forget_bias = 1.0`` are preserved because they shape
+    early training dynamics.
+  * **`nn.scan` over time** with per-step length masking replaces
+    ``dynamic_rnn(sequence_length=...)``: carry copies through after a
+    sequence ends, outputs are zeroed — identical semantics, one compiled
+    loop.
+  * **No state placeholders.** Decode carries the ``(c, h)`` PyTree
+    explicitly through jitted step functions (see ops/decoding.py); the
+    ``rnn_placeholders`` trick exists only because TF1 graphs can't.
+
+Params are fp32; matmuls run in ``compute_dtype`` (bfloat16 on TPU) with
+fp32 accumulation via ``preferred_element_type``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# carry for one layer: (c, h), each [B, H]
+LayerCarry = Tuple[jax.Array, jax.Array]
+# carry for a stack: tuple over layers
+Carry = Tuple[LayerCarry, ...]
+
+
+class LSTMCell(nn.Module):
+    """Fused LSTM cell: gates = [x, h] @ W + b, W: [E+H, 4H]."""
+
+    hidden_size: int
+    compute_dtype: Any = jnp.float32
+    forget_bias: float = 1.0
+
+    @nn.compact
+    def __call__(self, carry: LayerCarry, x: jax.Array):
+        c, h = carry
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.xavier_uniform(),
+            (in_features + self.hidden_size, 4 * self.hidden_size))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (4 * self.hidden_size,))
+        zh = jnp.concatenate([x, h], axis=-1)
+        gates = jax.lax.dot_general(
+            zh.astype(self.compute_dtype), kernel.astype(self.compute_dtype),
+            (((zh.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bias
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        new_c = (jax.nn.sigmoid(f + self.forget_bias) * c
+                 + jax.nn.sigmoid(i) * jnp.tanh(g))
+        new_h = jax.nn.sigmoid(o) * jnp.tanh(new_c)
+        return (new_c, new_h), new_h
+
+
+class LSTMStack(nn.Module):
+    """Multi-layer LSTM with single-step and masked-sequence application.
+
+    ``num_layers`` defaults to 1 in every reference config
+    (``utils/parameters.py:20,25``); the stack mirrors MultiRNNCell for
+    the general case.  ``output_keep_rate`` reproduces DropoutWrapper's
+    output dropout (``utils/rnn_model.py:36-38``), active only when a
+    ``dropout`` RNG is provided.
+    """
+
+    hidden_size: int
+    num_layers: int = 1
+    compute_dtype: Any = jnp.float32
+    output_keep_rate: float = 1.0
+
+    def setup(self):
+        self.cells = [
+            LSTMCell(self.hidden_size, self.compute_dtype, name=f"cell_{i}")
+            for i in range(self.num_layers)
+        ]
+
+    def zero_carry(self, batch_size: int) -> Carry:
+        z = jnp.zeros((batch_size, self.hidden_size), jnp.float32)
+        return tuple((z, z) for _ in range(self.num_layers))
+
+    def _maybe_drop(self, h: jax.Array, deterministic: bool) -> jax.Array:
+        if self.output_keep_rate >= 1.0 or deterministic:
+            return h
+        keep = self.output_keep_rate
+        mask = jax.random.bernoulli(self.make_rng("dropout"), keep, h.shape)
+        return jnp.where(mask, h / keep, 0.0)
+
+    def step(self, carry: Carry, x: jax.Array,
+             deterministic: bool = True) -> Tuple[Carry, jax.Array]:
+        """One timestep through all layers; input [B, E] → output [B, H]."""
+        new_carry = []
+        inp = x
+        for cell, layer_carry in zip(self.cells, carry):
+            layer_carry, inp = cell(layer_carry, inp)
+            inp = self._maybe_drop(inp, deterministic)
+            new_carry.append(layer_carry)
+        return tuple(new_carry), inp
+
+    def __call__(self, carry: Carry, xs: jax.Array, lengths: jax.Array,
+                 deterministic: bool = True) -> Tuple[Carry, jax.Array]:
+        """Masked sequence run (dynamic_rnn semantics).
+
+        xs: [B, T, E], lengths: [B] → (final_carry_at_length, outputs [B, T, H]).
+        Steps at t >= length copy the carry through and emit zeros.
+        """
+        T = xs.shape[1]
+        t_index = jnp.arange(T, dtype=lengths.dtype)
+        mask = t_index[None, :] < lengths[:, None]  # [B, T]
+
+        def body(mod, carry, inp):
+            x_t, m_t = inp
+            stepped, h = mod.step(carry, x_t, deterministic)
+            carry = jax.tree.map(
+                lambda n, o: jnp.where(m_t[:, None], n, o), stepped, carry)
+            h = jnp.where(m_t[:, None], h, 0.0)
+            return carry, h
+
+        scan = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=1, out_axes=1,
+        )
+        return scan(self, carry, (xs, mask))
