@@ -1,0 +1,98 @@
+"""End-to-end: train on the synthetic mini-COCO through the real CLI,
+then run inference mode and validate the COCO-eval JSON outputs —
+the reference's full main.py lifecycle (SURVEY §3.1/3.2)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+TINY = [
+    "--set", "embed_size=16", "--set", "latent_size=8",
+    "--set", "encoder_hidden=16", "--set", "decoder_hidden=16",
+    "--set", "gen_z_samples=4", "--set", "num_ex_per_epoch=16",
+    "--set", "extract_batch_size=4", "--set", "gen_max_len=8",
+    "--set", "keep_words=1",
+]
+
+
+@pytest.fixture(scope="module")
+def trained_run(mini_coco, vgg_npz, tmp_path_factory):
+    """One tiny training run via the CLI, shared by the checks below."""
+    from vae_captioning_tpu.cli import main
+    workdir = str(tmp_path_factory.mktemp("e2e"))
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        main(["--mode", "training", "--coco_dir", mini_coco,
+              "--epochs", "1", "--bs", "4", "--prior", "AG", "--c_v",
+              "--checkpoint", "e2e_run", "--gen_name", "t1",
+              "--set", f"image_net_weights_path={vgg_npz}",
+              "--set", "gen_val_captions=3", "--beam_size", "3",
+              *TINY])
+    finally:
+        os.chdir(cwd)
+    return workdir
+
+
+def test_training_produces_checkpoint_and_sidecars(trained_run):
+    base = os.path.join(trained_run, "checkpoints", "e2e_run")
+    assert os.path.exists(os.path.join(base, "config.json"))
+    assert os.path.exists(os.path.join(base, "vocab.json"))
+    steps = [d for d in os.listdir(base) if d.isdigit()]
+    assert steps, f"no checkpoint steps in {os.listdir(base)}"
+
+
+def test_training_caches_features_and_vocab(trained_run):
+    cache = os.path.join(trained_run, "cache")
+    assert os.path.exists(os.path.join(cache, "vocab.json"))
+    assert os.path.exists(os.path.join(cache, "train2014.features.npz"))
+    assert os.path.exists(os.path.join(cache, "val2014.features.npz"))
+
+
+def test_inference_writes_coco_eval_json(trained_run, mini_coco):
+    from vae_captioning_tpu.cli import main
+    cwd = os.getcwd()
+    os.chdir(trained_run)
+    try:
+        main(["--mode", "inference", "--coco_dir", mini_coco,
+              "--checkpoint", "e2e_run", "--gen_name", "t1",
+              "--sample_gen", "beam_search", "--beam_size", "3", *TINY])
+    finally:
+        os.chdir(cwd)
+    val_json = os.path.join(trained_run, "val_t1.json")
+    test_json = os.path.join(trained_run, "test_t1.json")
+    assert os.path.exists(val_json) and os.path.exists(test_json)
+    with open(val_json) as f:
+        caps = json.load(f)
+    assert len(caps) == 3  # gen_val_captions=3 holdout
+    for c in caps:
+        assert set(c) == {"image_id", "caption"}
+        assert isinstance(c["image_id"], int) and c["image_id"] >= 0
+        assert isinstance(c["caption"], str)
+        # no control tokens leak into the output text
+        assert "<" not in c["caption"]
+    with open(test_json) as f:
+        test_caps = json.load(f)
+    assert len(test_caps) == 4  # all test images
+    ids = [c["image_id"] for c in test_caps]
+    assert len(set(ids)) == 4
+
+
+def test_restore_continues_from_checkpoint(trained_run, mini_coco, vgg_npz):
+    from vae_captioning_tpu.cli import main
+    cwd = os.getcwd()
+    os.chdir(trained_run)
+    try:
+        main(["--mode", "training", "--coco_dir", mini_coco,
+              "--epochs", "1", "--bs", "4", "--prior", "AG", "--c_v",
+              "--checkpoint", "e2e_run", "--restore",
+              "--set", f"image_net_weights_path={vgg_npz}",
+              "--set", "gen_val_captions=3", *TINY])
+    finally:
+        os.chdir(cwd)
+    base = os.path.join(trained_run, "checkpoints", "e2e_run")
+    steps = sorted(int(d) for d in os.listdir(base) if d.isdigit())
+    assert steps[-1] > 5  # continued past the first run's final step

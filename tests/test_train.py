@@ -1,0 +1,189 @@
+"""Training-stack tests: optimizer semantics, jitted train step, 8-device
+data-parallel sharding, checkpoint round-trip, overfit sanity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from vae_captioning_tpu.config import Config
+from vae_captioning_tpu.data.batcher import Batch
+from vae_captioning_tpu.parallel import mesh as mesh_lib
+from vae_captioning_tpu.train import (
+    TrainState, Trainer, _lr_schedule, init_model, make_optimizer,
+    make_train_step)
+
+VOCAB = 40
+
+
+def small_config(**kw) -> Config:
+    base = dict(embed_size=16, latent_size=8, encoder_hidden=16,
+                decoder_hidden=16, gen_z_samples=4, batch_size=8,
+                num_ex_per_epoch=64)
+    base.update(kw)
+    cfg = Config(**base)
+    cfg.vocab_size = VOCAB
+    return cfg
+
+
+def make_host_batch(B=8, K=1, T=8, seed=0) -> Batch:
+    rng = np.random.default_rng(seed)
+    dec = rng.integers(1, VOCAB, size=(B, K, T)).astype(np.int32)
+    lab = np.concatenate([dec[:, :, 1:], np.zeros((B, K, 1), np.int32)], -1)
+    lengths = np.full((B, K), T - 1, np.int32)
+    c_v = rng.random((B, 90)).astype(np.float32)
+    c_v /= c_v.sum(-1, keepdims=True)
+    return Batch(features=rng.normal(size=(B, 4096)).astype(np.float32),
+                 dec_inputs=dec, labels=lab, lengths=lengths,
+                 cluster_vectors=c_v, valid=B)
+
+
+# ---------------------------------------------------------------- optimizer
+
+def test_lr_schedule_staircase():
+    cfg = small_config(num_ex_per_epoch=100, batch_size=10,
+                       num_epochs_per_decay=2)
+    sched = _lr_schedule(cfg, 0.1, "SGD")
+    # decay_steps = 100/10.001 * 2 ≈ 19
+    assert float(sched(0)) == pytest.approx(0.1)
+    assert float(sched(18)) == pytest.approx(0.1)
+    assert float(sched(19)) == pytest.approx(0.05)
+    assert float(sched(38)) == pytest.approx(0.025)
+
+
+def test_adam_constant_lr():
+    cfg = small_config()
+    assert _lr_schedule(cfg, 0.1, "Adam") == 0.1  # ref :37-40, no decay
+
+
+def test_optimizer_clips_global_norm():
+    cfg = small_config(lstm_clip_by_norm=1.0, optimizer="SGD",
+                       learning_rate=1.0)
+    tx = make_optimizer(cfg)
+    params = {"w": jnp.ones((4,)) * 0.0}
+    grads = {"w": jnp.ones((4,)) * 100.0}
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    assert float(optax.global_norm(updates)) == pytest.approx(1.0, rel=1e-5)
+
+
+def test_multi_transform_labels():
+    cfg = small_config(fine_tune=True)
+    tx = make_optimizer(cfg, fine_tune_labels=True)
+    params = {"vgg16": {"w": jnp.ones(3)}, "cvae": {"w": jnp.ones(3)}}
+    state = tx.init(params)  # must not raise; routes vgg16 → cnn chain
+    updates, _ = tx.update(jax.tree.map(jnp.ones_like, params), state, params)
+    assert updates["vgg16"]["w"].shape == (3,)
+
+
+# ---------------------------------------------------------------- step
+
+def test_train_step_updates_and_reduces_loss():
+    cfg = small_config(prior="Normal", ann_param=0.0, learning_rate=0.01)
+    model, params = init_model(cfg, jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg)
+    state = TrainState.create(params, tx)
+    step = make_train_step(model, tx, cfg, donate=False)
+    b = make_host_batch()
+    from vae_captioning_tpu.train import _flatten_batch
+    features, enc, dec, lengths, c_v = [jnp.asarray(x) for x in
+                                        _flatten_batch(b)]
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(60):
+        state, m = step(state, features, enc, dec, lengths, c_v, rng)
+        losses.append(float(m["loss"]))
+    assert int(state.step) == 60
+    assert losses[-1] < losses[0] * 0.5, losses[:3] + losses[-3:]
+    assert np.isfinite(losses).all()
+
+
+def test_train_step_ag_prior():
+    cfg = small_config(prior="AG", use_c_v=True)
+    model, params = init_model(cfg, jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg)
+    state = TrainState.create(params, tx)
+    step = make_train_step(model, tx, cfg, donate=False)
+    from vae_captioning_tpu.train import _flatten_batch
+    args = [jnp.asarray(x) for x in _flatten_batch(make_host_batch())]
+    state, m = step(state, *args, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+    assert float(m["kld"]) != 0.0
+
+
+# ---------------------------------------------------------------- sharding
+
+def test_trainer_runs_on_8_device_mesh():
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    cfg = small_config(prior="AG", use_c_v=True, num_captions=2)
+    trainer = Trainer(cfg)
+    assert trainer.mesh.devices.size == 8
+    m = trainer.run_step(make_host_batch(B=8, K=2))
+    assert np.isfinite(float(m["loss"]))
+    # params stay replicated across the mesh
+    leaf = jax.tree.leaves(trainer.state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+    m2 = trainer.run_step(make_host_batch(B=8, K=2, seed=1))
+    assert int(trainer.state.step) == 2
+
+
+def test_trainer_pads_uneven_batches():
+    cfg = small_config()
+    trainer = Trainer(cfg)
+    # batch of 5 → padded to 8 lanes internally, still runs
+    m = trainer.run_step(make_host_batch(B=5))
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_data_parallel_equals_single_device():
+    """The dp-sharded step must produce the same loss as an unsharded run."""
+    cfg = small_config(prior="Normal")
+    model, params = init_model(cfg, jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg)
+    step = make_train_step(model, tx, cfg, donate=False)
+    from vae_captioning_tpu.train import _flatten_batch
+    args = [jnp.asarray(x) for x in _flatten_batch(make_host_batch())]
+    rng = jax.random.PRNGKey(1)
+
+    s1 = TrainState.create(params, tx)
+    _, m1 = step(s1, *args, rng)
+
+    mesh = mesh_lib.create_mesh()
+    sharded_args = mesh_lib.shard_batch(tuple(args), mesh)
+    s2 = TrainState.create(mesh_lib.replicate(params, mesh), tx)
+    _, m2 = step(s2, *sharded_args, rng)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+
+
+# ---------------------------------------------------------------- checkpoint
+
+def test_checkpoint_roundtrip(tmp_path):
+    from vae_captioning_tpu.checkpoint import Checkpointer
+    cfg = small_config()
+    model, params = init_model(cfg, jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg)
+    state = TrainState.create(params, tx)
+    ckpt = Checkpointer(str(tmp_path), "testrun", max_to_keep=2)
+    ckpt.save(state, step=0)
+    state2 = state.replace(step=state.step + 5)
+    ckpt.save(state2, step=5)
+    assert ckpt.latest_step() == 5
+    restored = ckpt.restore(jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state))
+    assert int(restored.step) == 5
+    for a, b in zip(jax.tree.leaves(restored.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ckpt.close()
+
+
+def test_checkpoint_sidecars(tmp_path):
+    from vae_captioning_tpu.checkpoint import load_sidecars, save_sidecars
+    from vae_captioning_tpu.data.vocabulary import Vocabulary
+    cfg = small_config(prior="AG")
+    vocab = Vocabulary(["<BOS>", "<EOS>", "<UNK>", "cat"])
+    save_sidecars(cfg, vocab, str(tmp_path), "run1")
+    cfg2, vocab2 = load_sidecars(str(tmp_path), "run1")
+    assert cfg2.prior == "AG"
+    assert vocab2.word2idx == vocab.word2idx

@@ -50,7 +50,18 @@ class Data:
         self._stores: Dict[str, FeatureStore] = {}
         self._cluster_vecs: Optional[Dict[str, np.ndarray]] = None
         self._cluster_vecs_test: Optional[Dict[str, np.ndarray]] = None
-        self._heldout_val: Optional[list] = None
+
+        # Repartition (ref main.py:21-26 + utils/batch_gen.py:71-96) is
+        # decided here, deterministically in the seed, so a later
+        # inference-mode run recovers the SAME heldout generation split
+        # that training left out.
+        self._train_pool = self._split_files(self.paths["train_dir"])
+        self._heldout_val: list = []
+        if config.gen_val_captions >= 0:
+            val_files = self._split_files(self.paths["valid_dir"])
+            self._train_pool, self._heldout_val = repartition(
+                self._train_pool, val_files, config.gen_val_captions,
+                self._rng)
 
     # ------------------------------------------------------------------
     def _feature_store(self, split_dir: str) -> Optional[FeatureStore]:
@@ -117,19 +128,15 @@ class Data:
     def train_batcher(self, batch_size: Optional[int] = None) -> CaptionBatcher:
         cfg = self.config
         batch_size = batch_size or cfg.batch_size
-        train_files = self._split_files(self.paths["train_dir"])
         store = self._feature_store(self.paths["train_dir"])
         extra = None
-        if cfg.gen_val_captions >= 0:  # repartition (ref main.py:21-26)
-            val_files = self._split_files(self.paths["valid_dir"])
+        if cfg.gen_val_captions >= 0:  # val images folded into the pool
             val_store = self._feature_store(self.paths["valid_dir"])
-            train_files, self._heldout_val = repartition(
-                train_files, val_files, cfg.gen_val_captions, self._rng)
             if store is not None and val_store is not None:
                 store = store.merge(val_store)
             extra = self.captions_val.captions_indexed
         return CaptionBatcher(
-            train_files, self.captions_tr.captions_indexed, batch_size,
+            self._train_pool, self.captions_tr.captions_indexed, batch_size,
             extra_captions=extra,
             feature_store=store,
             image_store=self._image_store(),
@@ -143,9 +150,7 @@ class Data:
         """Validation/generation split: the repartition holdout if one was
         made, else all of val2014 (ref utils/data.py:132-151)."""
         cfg = self.config
-        files = self._heldout_val
-        if not files:
-            files = self._split_files(self.paths["valid_dir"])
+        files = self._heldout_val or self._split_files(self.paths["valid_dir"])
         return CaptionBatcher(
             files, self.captions_val.captions_indexed,
             batch_size or cfg.batch_size,

@@ -1,0 +1,132 @@
+"""Batch caption generation + COCO-eval JSON export.
+
+Replaces ``ops/inference.py`` and the decode halves of
+``vae_model/decoder.py``: restores a checkpoint, sweeps the val split
+with beam search or greedy/sampled decode, the test split with greedy
+(ref ``ops/inference.py:41-56``), and writes ``val_<gen_name>.json`` /
+``test_<gen_name>.json`` in the tylin/coco-caption format
+(``[{"image_id": int, "caption": str}]``).
+
+The decode itself is one jit per (batch, beam, length) shape: features →
+z-draw → init state → scanned beam search — no host round-trips.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vae_captioning_tpu.config import Config
+from vae_captioning_tpu.data.vocabulary import Vocabulary
+from vae_captioning_tpu.models.cvae import CVAEModel
+from vae_captioning_tpu.ops.decoding import (
+    beam_search, sample_decode, tokens_to_text)
+
+
+def make_decode_fns(model: CVAEModel, cfg: Config, vocab: Vocabulary):
+    """Jitted whole-batch decoders: (params, features, c_v, rng) → tokens."""
+    bos, eos = vocab.bos_id, vocab.eos_id
+    needs_cv = cfg.needs_cluster_vectors
+
+    def _init_and_step(params, features, c_v, rng):
+        c_v = c_v if needs_cv else None
+        carry = model.apply({"params": params}, features, c_v,
+                            rngs={"z": rng}, method=CVAEModel.decode_init)
+
+        def step_fn(carry, tokens):
+            return model.apply({"params": params}, carry, tokens,
+                               method=CVAEModel.decode_step)
+
+        return carry, step_fn
+
+    @jax.jit
+    def beam_fn(params, features, c_v, rng):
+        carry, step_fn = _init_and_step(params, features, c_v, rng)
+        result = beam_search(step_fn, carry, features.shape[0],
+                             beam_size=cfg.beam_size, bos_id=bos, eos_id=eos,
+                             max_len=cfg.gen_max_len,
+                             len_norm_f=cfg.len_norm_f)
+        return result.tokens[:, 0], result.scores[:, 0]
+
+    @jax.jit
+    def greedy_fn(params, features, c_v, rng):
+        carry, step_fn = _init_and_step(params, features, c_v, rng)
+        return sample_decode(step_fn, carry, features.shape[0], bos_id=bos,
+                             eos_id=eos, max_len=cfg.gen_max_len)
+
+    @jax.jit
+    def sample_fn(params, features, c_v, rng):
+        carry, step_fn = _init_and_step(params, features, c_v, rng)
+        return sample_decode(step_fn, carry, features.shape[0], bos_id=bos,
+                             eos_id=eos, max_len=cfg.gen_max_len,
+                             mode="sample", temperature=cfg.temperature,
+                             rng=jax.random.fold_in(rng, 1))
+
+    return {"beam_search": beam_fn, "greedy": greedy_fn, "sample": sample_fn}
+
+
+def generate_captions(
+    params,
+    batcher,
+    decode_fn: Callable,
+    vocab: Vocabulary,
+    rng: jax.Array,
+    image_batches: bool = False,
+) -> List[Dict]:
+    """Sweep a batcher, decode every image, return coco-eval dicts."""
+    out: List[Dict] = []
+    idx2word, eos = vocab.idx2word, vocab.eos_id
+    iterator = (batcher.image_batches() if image_batches
+                else batcher.eval_batches(with_ids=True))
+    for i, batch in enumerate(iterator):
+        res = decode_fn(params, jnp.asarray(batch.features),
+                        jnp.asarray(batch.cluster_vectors),
+                        jax.random.fold_in(rng, i))
+        tokens = np.asarray(res[0] if isinstance(res, tuple) else res)
+        for row in range(batch.valid):
+            out.append({
+                "image_id": int(batch.image_ids[row]),
+                "caption": tokens_to_text(tokens[row], idx2word, eos),
+            })
+    return out
+
+
+def run_inference(
+    cfg: Config,
+    params,
+    vocab: Vocabulary,
+    val_batcher,
+    test_batcher=None,
+    output_dir: str = ".",
+) -> Dict[str, str]:
+    """Full inference pass (ref ops/inference.py:4-56)."""
+    model = CVAEModel.from_config(cfg)
+    fns = make_decode_fns(model, cfg, vocab)
+    rng = jax.random.PRNGKey(cfg.seed)
+    written: Dict[str, str] = {}
+
+    print("Generating captions for val file")
+    val_fn = fns[cfg.sample_gen]
+    caps = generate_captions(params, val_batcher, val_fn, vocab, rng)
+    val_path = os.path.join(output_dir, f"val_{cfg.gen_name}.json")
+    with open(val_path, "w") as f:
+        json.dump(caps, f)
+    print(f"Generated {len(caps)} captions → {val_path}")
+    written["val"] = val_path
+
+    if test_batcher is not None:
+        print("Generating captions for test file")
+        caps = generate_captions(params, test_batcher, fns["greedy"], vocab,
+                                 jax.random.fold_in(rng, 999),
+                                 image_batches=True)
+        test_path = os.path.join(output_dir, f"test_{cfg.gen_name}.json")
+        with open(test_path, "w") as f:
+            json.dump(caps, f)
+        print(f"Generated {len(caps)} captions → {test_path}")
+        written["test"] = test_path
+    return written

@@ -1,0 +1,211 @@
+"""On-device batched decoding: greedy, temperature sampling, beam search.
+
+This replaces the single most TPU-hostile pattern in the reference
+(SURVEY §3.3/3.4): host-side loops issuing one ``sess.run`` per token
+(``vae_model/decoder.py:145-201``) and one per *beam* per step
+(``:203-320`` + ``utils/top_n.py`` heaps) — ~300 device round-trips per
+image at beam 10.  Here the whole decode is one ``lax.scan`` inside one
+jit over a ``[batch, beam]`` state: zero host syncs until the final
+token array is fetched.
+
+Semantics preserved from the reference beam search:
+  * log-prob accumulation with the ``p < 1e-12`` skip (``:277-279``)
+  * EOS completion with ``len(sentence)**len_norm_f`` length
+    normalization (``:283-287``)
+  * fall back to partial (un-normalized) captions when nothing
+    completed (``:295-299``)
+  * greedy's temperature sharpening ``p^(1/t)/Σ`` before argmax
+    (``:184-189``) is an argmax no-op for t > 0, so greedy is argmax;
+    'sample' draws from ``softmax(logits / temperature)`` (``:136-138``).
+
+``step_fn(carry, tokens[N]) -> (carry, logits[N, V])`` abstracts the
+model; carry is any PyTree with leading dim N.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1.0e9
+# ln(1e-12), the reference's zero-probability skip threshold
+_LOG_PROB_FLOOR = -27.631021
+
+StepFn = Callable[[Any, jax.Array], Tuple[Any, jax.Array]]
+
+
+# ----------------------------------------------------------------------
+# greedy / temperature sampling
+# ----------------------------------------------------------------------
+
+def sample_decode(
+    step_fn: StepFn,
+    init_carry: Any,
+    batch_size: int,
+    *,
+    bos_id: int,
+    eos_id: int,
+    max_len: int,
+    mode: str = "greedy",            # greedy | sample
+    temperature: float = 1.0,
+    rng: jax.Array | None = None,
+) -> jax.Array:
+    """Batched greedy/sampled decode → token ids [B, max_len]
+    (EOS included; positions after EOS are PAD=0)."""
+    if mode == "sample" and rng is None:
+        raise ValueError("mode='sample' requires an rng")
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    def body(state, step_rng):
+        carry, tokens, alive = state
+        carry, logits = step_fn(carry, tokens)
+        if mode == "sample":
+            nxt = jax.random.categorical(step_rng, logits / temperature,
+                                         axis=-1)
+        else:
+            nxt = jnp.argmax(logits, axis=-1)
+        nxt = nxt.astype(jnp.int32)
+        emitted = jnp.where(alive, nxt, 0)
+        alive = jnp.logical_and(alive, nxt != eos_id)
+        return (carry, nxt, alive), emitted
+
+    tokens0 = jnp.full((batch_size,), bos_id, jnp.int32)
+    alive0 = jnp.ones((batch_size,), bool)
+    step_rngs = jax.random.split(rng, max_len)
+    _, out = jax.lax.scan(body, (init_carry, tokens0, alive0), step_rngs)
+    return jnp.transpose(out)  # [B, max_len]
+
+
+# ----------------------------------------------------------------------
+# beam search
+# ----------------------------------------------------------------------
+
+class BeamResult(NamedTuple):
+    """All beams, best-first per image (a PyTree, safe across jit)."""
+
+    tokens: jax.Array   # [B, beam, max_len] (BOS excluded, EOS included)
+    scores: jax.Array   # [B, beam] (length-normalized; raw logp if partial)
+
+
+def _gather_beams(tree: Any, beam_idx: jax.Array, B: int, beam: int) -> Any:
+    """Reindex leading [B*beam, ...] leaves by per-image beam indices."""
+
+    def gather(leaf):
+        x = leaf.reshape(B, beam, *leaf.shape[1:])
+        idx = beam_idx.reshape(B, beam, *([1] * (x.ndim - 2)))
+        out = jnp.take_along_axis(x, idx.astype(jnp.int32), axis=1)
+        return out.reshape(B * beam, *leaf.shape[1:])
+
+    return jax.tree.map(gather, tree)
+
+
+def beam_search(
+    step_fn: StepFn,
+    init_carry: Any,                 # PyTree, leading dim B
+    batch_size: int,
+    *,
+    beam_size: int,
+    bos_id: int,
+    eos_id: int,
+    max_len: int,
+    len_norm_f: float = 0.7,
+) -> BeamResult:
+    """Batched beam search, fully on device.
+
+    ``init_carry`` has leading dim B; it is broadcast to B*beam lanes.
+    Runs exactly ``max_len`` expansion steps (the reference's initial
+    BOS step + gen_max_len-1 loop), static shapes throughout.
+    """
+    B, K = batch_size, beam_size
+
+    def broadcast(leaf):
+        return jnp.repeat(leaf, K, axis=0)  # [B*K, ...], beams contiguous
+
+    carry0 = jax.tree.map(broadcast, init_carry)
+    # first expansion must come from ONE beam — others start at -inf
+    alive_logp0 = jnp.tile(
+        jnp.asarray([0.0] + [NEG_INF] * (K - 1), jnp.float32), (B, 1))
+    alive_seq0 = jnp.zeros((B, K, max_len), jnp.int32)
+    fin_seq0 = jnp.zeros((B, K, max_len), jnp.int32)
+    fin_scores0 = jnp.full((B, K), NEG_INF, jnp.float32)
+    tokens0 = jnp.full((B, K), bos_id, jnp.int32)
+
+    def body(state, t):
+        carry, tokens, alive_seq, alive_logp, fin_seq, fin_scores = state
+
+        carry, logits = step_fn(carry, tokens.reshape(B * K))
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        V = logp.shape[-1]
+        logp = jnp.where(logp < _LOG_PROB_FLOOR, NEG_INF, logp)  # p<1e-12 skip
+
+        # reference semantics (decoder.py:268-291): each beam expands only
+        # its OWN top-K tokens, then all K² candidates merge.  (The common
+        # global top-2K shortcut admits EOS completions the reference
+        # would never see.)
+        per_beam_logp, per_beam_tok = jax.lax.top_k(
+            logp.reshape(B, K, V), K)                            # [B, K, K]
+        cand = alive_logp[:, :, None] + per_beam_logp            # [B, K, K]
+        top_logp = cand.reshape(B, K * K)                        # [B, K²]
+        beam_idx = jnp.repeat(
+            jnp.arange(K)[None, :, None], K, axis=2).reshape(1, K * K)
+        beam_idx = jnp.broadcast_to(beam_idx, (B, K * K))
+        token_idx = per_beam_tok.reshape(B, K * K).astype(jnp.int32)
+
+        # candidate sequences: parent seq + new token at position t
+        parent_seq = jnp.take_along_axis(
+            alive_seq, beam_idx[:, :, None], axis=1)             # [B, K², T]
+        cand_seq = parent_seq.at[:, :, t].set(token_idx)         # [B, K², T]
+
+        is_eos = token_idx == eos_id
+
+        # ---- finished pool: normalized score, merged topk (ref :283-291)
+        sent_len = (t + 2).astype(jnp.float32)  # BOS + t+1 emitted tokens
+        norm = jnp.where(len_norm_f > 0, sent_len ** len_norm_f, 1.0)
+        eos_scores = jnp.where(is_eos, top_logp / norm, NEG_INF)  # [B, K²]
+        all_scores = jnp.concatenate([fin_scores, eos_scores], axis=1)
+        all_seq = jnp.concatenate([fin_seq, cand_seq], axis=1)
+        new_fin_scores, keep = jax.lax.top_k(all_scores, K)
+        new_fin_seq = jnp.take_along_axis(all_seq, keep[:, :, None], axis=1)
+
+        # ---- alive pool: best K non-EOS continuations
+        alive_cand = jnp.where(is_eos, NEG_INF, top_logp)
+        new_alive_logp, alive_keep = jax.lax.top_k(alive_cand, K)  # [B, K]
+        new_alive_seq = jnp.take_along_axis(
+            cand_seq, alive_keep[:, :, None], axis=1)
+        new_tokens = jnp.take_along_axis(token_idx, alive_keep, axis=1)
+        parent_of_alive = jnp.take_along_axis(beam_idx, alive_keep, axis=1)
+        carry = _gather_beams(carry, parent_of_alive, B, K)
+
+        return (carry, new_tokens, new_alive_seq, new_alive_logp,
+                new_fin_seq, new_fin_scores), None
+
+    state0 = (carry0, tokens0, alive_seq0, alive_logp0, fin_seq0, fin_scores0)
+    (carry, tokens, alive_seq, alive_logp, fin_seq, fin_scores), _ = (
+        jax.lax.scan(body, state0, jnp.arange(max_len)))
+
+    # fallback to partials when nothing completed (ref :295-299): partial
+    # captions keep their raw log-prob as score
+    has_finished = jnp.any(fin_scores > NEG_INF / 2, axis=1, keepdims=True)
+    out_seq = jnp.where(has_finished[:, :, None], fin_seq, alive_seq)
+    out_scores = jnp.where(has_finished, fin_scores, alive_logp)
+
+    # best-first order per image
+    order = jnp.argsort(-out_scores, axis=1)
+    out_scores = jnp.take_along_axis(out_scores, order, axis=1)
+    out_seq = jnp.take_along_axis(out_seq, order[:, :, None], axis=1)
+    return BeamResult(tokens=out_seq, scores=out_scores)
+
+
+def tokens_to_text(token_row, idx2word, eos_id: int) -> str:
+    """Host-side: one token row → caption string (stops at EOS, drops PAD)."""
+    words = []
+    for tok in token_row:
+        tok = int(tok)
+        if tok == eos_id:
+            break
+        if tok == 0:
+            continue
+        words.append(idx2word[tok])
+    return " ".join(words)

@@ -1,0 +1,60 @@
+"""Device mesh + sharding rules.
+
+The reference is strictly single-process / single-GPU
+(``utils/parameters.py:163-164``; SURVEY §2 'Parallelism strategies:
+None').  The TPU-native equivalent (SURVEY §5) is pure data parallelism
+over an ICI mesh: at ~15M parameters the model needs no tensor/pipeline
+split, so params are replicated and the batch is sharded over the
+``dp`` axis.  pjit then inserts the gradient ``psum`` automatically; the
+same code path covers multi-host DCN via ``jax.distributed``.
+
+Decode is embarrassingly parallel over images, so beam search shards the
+image batch the same way — ICI traffic is zero during generation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(devices: Optional[Sequence[jax.Device]] = None,
+                axis_name: str = "dp") -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    devices = list(devices) if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "dp") -> NamedSharding:
+    """Shard the leading (batch) dim; everything else replicated."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(tree: Any, mesh: Mesh, axis_name: str = "dp") -> Any:
+    """Device_put every leaf with its batch dim sharded over the mesh."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    sharding = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def pad_to_multiple(batch_leaf: np.ndarray, multiple: int) -> np.ndarray:
+    """Pad the leading dim up to a multiple of the mesh size so every
+    shard has equal extent (XLA requires even sharding)."""
+    n = batch_leaf.shape[0]
+    rem = n % multiple
+    if rem == 0:
+        return batch_leaf
+    pad = multiple - rem
+    pad_block = np.zeros((pad, *batch_leaf.shape[1:]), batch_leaf.dtype)
+    return np.concatenate([batch_leaf, pad_block])

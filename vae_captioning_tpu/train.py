@@ -1,0 +1,273 @@
+"""Training: optimizers, train state, jitted data-parallel step, epoch loop.
+
+Replaces ``main.py:19-290`` + ``ops/optimizers.py``.  Semantics kept:
+
+  * Two optimizer groups (``ops/optimizers.py``): the non-CNN group
+    (encoder/decoder/imf_emb/cv_emb) with global-norm clip 5.0, and — in
+    fine-tune mode — the CNN group at ``cnn_lr`` with L2 weight decay
+    (``main.py:69-78``); implemented as one ``optax.multi_transform``
+    over param labels instead of two tf optimizers on variable
+    collections.
+  * Per-optimizer: SGD/Momentum use the ×0.5-every-N-epochs staircase
+    decay; Adam uses a constant lr with β1 = 0.8
+    (``ops/optimizers.py:27-46``).
+  * tanh KL annealing driven by the global step (``main.py:162-170``),
+    forced to 1.0 on fine-tune/restore.
+  * epoch structure: ``num_ex_per_epoch`` examples per epoch, loss print
+    every 500 steps, per-epoch validation rec-loss + checkpoint
+    (``main.py:213-290``).
+
+TPU-native: one jitted step over a ``dp`` mesh — params replicated,
+batch sharded, gradient psum inserted by pjit.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vae_captioning_tpu.config import Config
+from vae_captioning_tpu.data.batcher import Batch
+from vae_captioning_tpu.models.cvae import CVAEModel, compute_loss
+from vae_captioning_tpu.ops import distributions as dist
+from vae_captioning_tpu.parallel import mesh as mesh_lib
+
+
+# ----------------------------------------------------------------------
+# optimizers (ref ops/optimizers.py)
+# ----------------------------------------------------------------------
+
+def _lr_schedule(cfg: Config, base_lr: float, kind: str):
+    """×0.5 staircase decay for SGD/Momentum; constant for Adam
+    (ref ops/optimizers.py:24-46 — Adam ignores the decay)."""
+    if kind == "Adam":
+        return base_lr
+    num_batches_per_epoch = cfg.num_ex_per_epoch / (cfg.batch_size + 0.001)
+    decay_steps = max(int(num_batches_per_epoch * cfg.num_epochs_per_decay), 1)
+    return optax.exponential_decay(base_lr, transition_steps=decay_steps,
+                                   decay_rate=0.5, staircase=True)
+
+
+def _base_optimizer(kind: str, lr) -> optax.GradientTransformation:
+    if kind == "SGD":
+        return optax.sgd(lr)
+    if kind == "Adam":
+        return optax.adam(lr, b1=0.8)       # β1=0.8, ref :39
+    if kind == "Momentum":
+        return optax.sgd(lr, momentum=0.9)  # ref :42
+    raise ValueError(f"unknown optimizer {kind!r}")
+
+
+def make_optimizer(cfg: Config,
+                   fine_tune_labels: bool = False) -> optax.GradientTransformation:
+    """Non-CNN chain; with ``fine_tune_labels`` a multi_transform routing
+    'cnn'-labeled params to the CNN chain."""
+    main_tx = optax.chain(
+        optax.clip_by_global_norm(cfg.lstm_clip_by_norm),
+        _base_optimizer(cfg.optimizer,
+                        _lr_schedule(cfg, cfg.learning_rate, cfg.optimizer)),
+    )
+    if not fine_tune_labels:
+        return main_tx
+    cnn_tx = optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay),  # ≙ tf l2_regularizer grad
+        _base_optimizer(cfg.cnn_optimizer,
+                        _lr_schedule(cfg, cfg.cnn_lr, cfg.cnn_optimizer)),
+    )
+    def label_fn(params):
+        return {k: ("cnn" if k == "vgg16" else "main") for k in params}
+    return optax.multi_transform({"main": main_tx, "cnn": cnn_tx}, label_fn)
+
+
+# ----------------------------------------------------------------------
+# train state
+# ----------------------------------------------------------------------
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params, tx) -> "TrainState":
+        return cls(step=jnp.asarray(0, jnp.int32), params=params,
+                   opt_state=tx.init(params))
+
+
+def init_model(cfg: Config, rng: jax.Array,
+               model: Optional[CVAEModel] = None) -> Tuple[CVAEModel, Any]:
+    """Initialize params with dummy shapes."""
+    model = model or CVAEModel.from_config(cfg)
+    B, T = 2, 8
+    rngs = {"params": rng, "z": jax.random.PRNGKey(0),
+            "sample": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
+    dummy_cv = (jnp.zeros((B, cfg.num_clusters), jnp.float32)
+                if cfg.needs_cluster_vectors else None)
+    variables = model.init(
+        rngs,
+        jnp.zeros((B, cfg.cnn_feature_size), jnp.float32),
+        jnp.zeros((B, T), jnp.int32), jnp.zeros((B, T), jnp.int32),
+        jnp.ones((B,), jnp.int32), dummy_cv)
+    return model, variables["params"]
+
+
+# ----------------------------------------------------------------------
+# jitted step
+# ----------------------------------------------------------------------
+
+def _flatten_batch(batch: Batch):
+    """[B, K, T] host batch → flat device arrays."""
+    B, K, T = batch.dec_inputs.shape
+    return (batch.features,
+            batch.labels.reshape(B * K, T),      # encoder input = labels
+            batch.dec_inputs.reshape(B * K, T),
+            batch.lengths.reshape(B * K),
+            batch.cluster_vectors)
+
+
+def make_train_step(model: CVAEModel, tx: optax.GradientTransformation,
+                    cfg: Config, donate: bool = True):
+    """Build the jitted train step.  Called once per caption-length
+    bucket shape; XLA caches compilations per shape."""
+    force_one = cfg.fine_tune or cfg.restore
+    cluster_means = jnp.asarray(dist.init_cluster_means(
+        cfg.num_clusters, cfg.latent_size, cfg.seed))
+    needs_cv = cfg.needs_cluster_vectors
+
+    def step_fn(state: TrainState, features, enc, dec, lengths, c_v, rng):
+        step_rng = jax.random.fold_in(rng, state.step)
+        rngs = {"z": jax.random.fold_in(step_rng, 0),
+                "sample": jax.random.fold_in(step_rng, 1),
+                "dropout": jax.random.fold_in(step_rng, 2)}
+        annealing = dist.kl_annealing(state.step, cfg.ann_param, force_one)
+
+        def loss_fn(params):
+            out = model.apply({"params": params}, features, enc, dec,
+                              lengths, c_v if needs_cv else None,
+                              deterministic=False, rngs=rngs)
+            losses = compute_loss(out, enc, prior=cfg.prior,
+                                  no_encoder=cfg.no_encoder,
+                                  cluster_means=cluster_means,
+                                  annealing=annealing)
+            return losses["loss"], losses
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state)
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model: CVAEModel, cfg: Config):
+    """Validation rec-loss (ref main.py:262-284 computes rec only)."""
+    cluster_means = jnp.asarray(dist.init_cluster_means(
+        cfg.num_clusters, cfg.latent_size, cfg.seed))
+    needs_cv = cfg.needs_cluster_vectors
+
+    def eval_fn(params, features, enc, dec, lengths, c_v, rng):
+        rngs = {"z": rng, "sample": jax.random.fold_in(rng, 1)}
+        out = model.apply({"params": params}, features, enc, dec, lengths,
+                          c_v if needs_cv else None,
+                          deterministic=True, rngs=rngs)
+        losses = compute_loss(out, enc, prior=cfg.prior,
+                              no_encoder=cfg.no_encoder,
+                              cluster_means=cluster_means, annealing=1.0)
+        return losses["rec_loss"]
+
+    return jax.jit(eval_fn)
+
+
+# ----------------------------------------------------------------------
+# driver loop
+# ----------------------------------------------------------------------
+
+class Trainer:
+    def __init__(self, cfg: Config, vocab_size: Optional[int] = None,
+                 mesh=None):
+        if vocab_size is not None:
+            cfg.vocab_size = vocab_size
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else mesh_lib.create_mesh(
+            axis_name=cfg.mesh_axis)
+        self.model, params = init_model(cfg, jax.random.PRNGKey(cfg.seed))
+        self.tx = make_optimizer(cfg, fine_tune_labels=False)
+        params = mesh_lib.replicate(params, self.mesh)
+        self.state = TrainState.create(params, self.tx)
+        self.train_step = make_train_step(self.model, self.tx, cfg)
+        self.eval_step = make_eval_step(self.model, cfg)
+        self._rng = jax.random.PRNGKey(cfg.seed + 1)
+
+    # --------------------------------------------------------------
+    def restore_from(self, checkpointer) -> None:
+        """Restore the train state and re-replicate it onto the mesh
+        (checkpoint sharding metadata may not match this run's mesh)."""
+        restored = checkpointer.restore(self.state)
+        self.state = mesh_lib.replicate(restored, self.mesh)
+
+    # --------------------------------------------------------------
+    def _device_batch(self, batch: Batch):
+        arrays = _flatten_batch(batch)
+        n = len(self.mesh.devices.ravel())
+        arrays = tuple(mesh_lib.pad_to_multiple(np.asarray(a), n)
+                       for a in arrays)
+        return mesh_lib.shard_batch(arrays, self.mesh, self.cfg.mesh_axis)
+
+    def run_step(self, batch: Batch) -> Dict[str, float]:
+        features, enc, dec, lengths, c_v = self._device_batch(batch)
+        self.state, metrics = self.train_step(
+            self.state, features, enc, dec, lengths, c_v, self._rng)
+        return metrics
+
+    def validate(self, batcher) -> float:
+        vals = []
+        for batch in batcher.eval_batches(num_captions=self.cfg.num_captions,
+                                          with_ids=False):
+            features, enc, dec, lengths, c_v = self._device_batch(batch)
+            rec = self.eval_step(self.state.params, features, enc, dec,
+                                 lengths, c_v, self._rng)
+            vals.append(float(rec))
+        return float(np.mean(vals)) if vals else float("nan")
+
+    # --------------------------------------------------------------
+    def fit(self, train_batcher, val_batcher=None, checkpointer=None,
+            log_every: int = 500) -> Dict[str, float]:
+        cfg = self.cfg
+        metrics: Dict[str, float] = {}
+        for epoch in range(cfg.num_epochs):
+            seen = 0
+            t0 = time.time()
+            while seen <= cfg.num_ex_per_epoch:
+                for batch in train_batcher.train_batches(cfg.num_captions):
+                    m = self.run_step(batch)
+                    seen += batch.batch_size
+                    step = int(self.state.step)
+                    if step % log_every == 0:
+                        metrics = {k: float(np.mean(v)) for k, v in m.items()}
+                        rate = seen / max(time.time() - t0, 1e-9)
+                        print(f"Epoch: {epoch} Iteration: {step} "
+                              f"VLB: {metrics['loss']:.4f} "
+                              f"Rec Loss: {metrics['rec_loss']:.4f} "
+                              f"KLD: {metrics['kld']:.4f} "
+                              f"Annealing: {metrics['annealing']:.3f} "
+                              f"({rate:.1f} ex/s)")
+                    if seen > cfg.num_ex_per_epoch:
+                        break
+            if val_batcher is not None:
+                val_rec = self.validate(val_batcher)
+                print(f"Validation reconstruction loss: {val_rec}")
+                metrics["val_rec_loss"] = val_rec
+            if checkpointer is not None:
+                checkpointer.save(self.state)
+        return {k: float(np.mean(v)) for k, v in
+                (metrics or {"loss": np.nan}).items()}
