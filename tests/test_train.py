@@ -68,13 +68,23 @@ def test_optimizer_clips_global_norm():
     assert float(optax.global_norm(updates)) == pytest.approx(1.0, rel=1e-5)
 
 
-def test_multi_transform_labels():
-    cfg = small_config(fine_tune=True)
-    tx = make_optimizer(cfg, fine_tune_labels=True)
-    params = {"vgg16": {"w": jnp.ones(3)}, "cvae": {"w": jnp.ones(3)}}
-    state = tx.init(params)  # must not raise; routes vgg16 → cnn chain
-    updates, _ = tx.update(jax.tree.map(jnp.ones_like, params), state, params)
-    assert updates["vgg16"]["w"].shape == (3,)
+def test_finetune_optimizer_labels_and_freezing():
+    from vae_captioning_tpu.train import make_finetune_optimizer
+    cfg = small_config(fine_tune=True, fine_tune_fe=False, fine_tune_top=True,
+                       cnn_optimizer="SGD", optimizer="SGD")
+    tx = make_finetune_optimizer(cfg)
+    params = {"vgg16": {"conv1_1": {"kernel": jnp.ones(3)},
+                        "fc1": {"kernel": jnp.ones(3)}},
+              "cvae": {"w": jnp.ones(3)}}
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    # conv frozen (fine_tune_fe=False) → zero update
+    np.testing.assert_array_equal(
+        np.asarray(updates["vgg16"]["conv1_1"]["kernel"]), 0.0)
+    # fc trainable → nonzero update
+    assert np.abs(np.asarray(updates["vgg16"]["fc1"]["kernel"])).max() > 0
+    assert np.abs(np.asarray(updates["cvae"]["w"])).max() > 0
 
 
 # ---------------------------------------------------------------- step

@@ -58,9 +58,11 @@ def run_inference_mode(cfg: Config, data: Optional[Data] = None):
         vocab = data.vocab
     model_cfg.vocab_size = vocab.vocab_size
 
-    from vae_captioning_tpu.train import init_model, make_optimizer, TrainState
+    from vae_captioning_tpu.train import (
+        TrainState, init_model, make_finetune_optimizer, make_optimizer)
     _, params = init_model(model_cfg, jax.random.PRNGKey(model_cfg.seed))
-    tx = make_optimizer(model_cfg)
+    tx = (make_finetune_optimizer(model_cfg) if model_cfg.fine_tune
+          else make_optimizer(model_cfg))
     state = TrainState.create(params, tx)
     ckpt = Checkpointer(model_cfg.checkpoint_dir, model_cfg.checkpoint,
                         model_cfg.max_checkpoints_to_keep)

@@ -1,0 +1,174 @@
+"""Caption quality metrics: corpus BLEU-1..4 and CIDEr-D.
+
+The reference delegates scoring to the external tylin/coco-caption tool
+(``README.md:47``); this module closes the loop in-repo with standard
+pure-numpy implementations so a training run can report CIDEr directly.
+
+Algorithms follow the canonical definitions:
+  * BLEU (Papineni et al. 2002): modified n-gram precision with corpus
+    brevity penalty, uniform weights.
+  * CIDEr-D (Vedantam et al. 2015): tf-idf-weighted n-gram cosine
+    similarity, n = 1..4, count clipping, gaussian length penalty
+    (σ = 6), ×10 scaling.
+
+Inputs are whitespace-tokenized strings (our pipeline lowercases and
+strips punctuation at tokenization time, which approximates the PTB
+tokenizer used by coco-caption closely enough for relative comparison).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+from typing import Dict, List, Sequence
+
+
+def _ngrams(tokens: Sequence[str], n: int) -> Counter:
+    return Counter(tuple(tokens[i:i + n]) for i in range(len(tokens) - n + 1))
+
+
+# ----------------------------------------------------------------------
+# BLEU
+# ----------------------------------------------------------------------
+
+def corpus_bleu(hypotheses: Dict[str, str], references: Dict[str, List[str]],
+                max_n: int = 4) -> List[float]:
+    """Corpus-level BLEU-1..max_n.  Keys of both dicts are image ids."""
+    clipped = [0] * max_n
+    totals = [0] * max_n
+    hyp_len = 0
+    ref_len = 0
+    for key, hyp in hypotheses.items():
+        hyp_tokens = hyp.split()
+        refs_tokens = [r.split() for r in references[key]]
+        hyp_len += len(hyp_tokens)
+        # closest reference length (standard BLEU tie→shorter)
+        ref_len += min((abs(len(r) - len(hyp_tokens)), len(r))
+                       for r in refs_tokens)[1]
+        for n in range(1, max_n + 1):
+            hyp_counts = _ngrams(hyp_tokens, n)
+            max_ref = Counter()
+            for r in refs_tokens:
+                for gram, c in _ngrams(r, n).items():
+                    max_ref[gram] = max(max_ref[gram], c)
+            totals[n - 1] += sum(hyp_counts.values())
+            clipped[n - 1] += sum(min(c, max_ref[g])
+                                  for g, c in hyp_counts.items())
+    bp = 1.0 if hyp_len > ref_len else math.exp(1 - ref_len / max(hyp_len, 1))
+    scores = []
+    log_sum = 0.0
+    for n in range(max_n):
+        p = clipped[n] / totals[n] if totals[n] else 0.0
+        log_sum += math.log(p) if p > 0 else -9999.0
+        scores.append(bp * math.exp(log_sum / (n + 1)))
+    return scores
+
+
+# ----------------------------------------------------------------------
+# CIDEr-D
+# ----------------------------------------------------------------------
+
+def cider_d(hypotheses: Dict[str, str], references: Dict[str, List[str]],
+            max_n: int = 4, sigma: float = 6.0) -> float:
+    """Corpus CIDEr-D (mean over images, ×10)."""
+    # document frequency over reference sets
+    df: Dict[tuple, float] = defaultdict(float)
+    for refs in references.values():
+        seen = set()
+        for r in refs:
+            toks = r.split()
+            for n in range(1, max_n + 1):
+                seen.update(_ngrams(toks, n).keys())
+        for gram in seen:
+            df[gram] += 1.0
+    log_num_images = math.log(max(len(references), 1))
+
+    def tfidf_vec(tokens: Sequence[str]):
+        vecs, norms = [], []
+        length = len(tokens)
+        for n in range(1, max_n + 1):
+            counts = _ngrams(tokens, n)
+            vec = {}
+            norm_sq = 0.0
+            for gram, c in counts.items():
+                idf = log_num_images - math.log(max(df.get(gram, 0.0), 1.0))
+                w = c * idf
+                vec[gram] = w
+                norm_sq += w * w
+            vecs.append(vec)
+            norms.append(math.sqrt(norm_sq))
+        return vecs, norms, length
+
+    total = 0.0
+    for key, hyp in hypotheses.items():
+        h_vecs, h_norms, h_len = tfidf_vec(hyp.split())
+        score_n = [0.0] * max_n
+        refs = references[key]
+        for r in refs:
+            r_vecs, r_norms, r_len = tfidf_vec(r.split())
+            delta = float(h_len - r_len)
+            len_pen = math.exp(-(delta ** 2) / (2 * sigma ** 2))
+            for n in range(max_n):
+                # clipped dot product (the -D variant)
+                dot = sum(min(w, r_vecs[n].get(g, 0.0)) * r_vecs[n].get(g, 0.0)
+                          for g, w in h_vecs[n].items())
+                denom = h_norms[n] * r_norms[n]
+                if denom > 0:
+                    score_n[n] += len_pen * dot / denom
+        total += 10.0 * sum(s / len(refs) for s in score_n) / max_n
+    return total / max(len(hypotheses), 1)
+
+
+# ----------------------------------------------------------------------
+# COCO-eval JSON entry point
+# ----------------------------------------------------------------------
+
+def score_captions_json(results_json_path: str, captions_json_path: str,
+                        lowercase: bool = True) -> Dict[str, float]:
+    """Score a generated ``[{'image_id','caption'}]`` JSON against the COCO
+    ground-truth captions file (same inputs as tylin/coco-caption)."""
+    import json
+    import re
+
+    def norm(s: str) -> str:
+        s = s.lower() if lowercase else s
+        return " ".join(t for t in re.split(r"\W+", s) if t)
+
+    with open(results_json_path) as f:
+        results = json.load(f)
+    with open(captions_json_path) as f:
+        gt = json.load(f)
+    refs: Dict[str, List[str]] = defaultdict(list)
+    for ann in gt["annotations"]:
+        refs[str(ann["image_id"])].append(norm(ann["caption"]))
+    hyps = {str(r["image_id"]): norm(r["caption"]) for r in results
+            if str(r["image_id"]) in refs}
+    missing = len(results) - len(hyps)
+    if not hyps:
+        raise ValueError("no overlapping image ids between results and GT")
+    refs = {k: v for k, v in refs.items() if k in hyps}
+    bleu = corpus_bleu(hyps, refs)
+    out = {f"BLEU-{i+1}": round(b, 4) for i, b in enumerate(bleu)}
+    out["CIDEr-D"] = round(cider_d(hyps, refs), 4)
+    out["scored_images"] = len(hyps)
+    if missing:
+        out["unscored_images"] = missing
+    return out
+
+
+def main(argv=None) -> None:
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser(description="Score generated captions "
+                                "against COCO ground truth")
+    p.add_argument("--results", required=True, help="val_<name>.json")
+    p.add_argument("--annotations", required=True,
+                   help="captions_val2014.json")
+    args = p.parse_args(argv)
+    print(json.dumps(score_captions_json(args.results, args.annotations),
+                     indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,19 +28,22 @@ from vae_captioning_tpu.ops.decoding import (
     beam_search, sample_decode, tokens_to_text)
 
 
-def make_decode_fns(model: CVAEModel, cfg: Config, vocab: Vocabulary):
-    """Jitted whole-batch decoders: (params, features, c_v, rng) → tokens."""
+def make_decode_fns(model, cfg: Config, vocab: Vocabulary):
+    """Jitted whole-batch decoders: (params, features_or_images, c_v, rng)
+    → tokens.  Works for CVAEModel (features input) and FineTuneModel
+    (raw images input) alike — both expose decode_init/decode_step."""
     bos, eos = vocab.bos_id, vocab.eos_id
     needs_cv = cfg.needs_cluster_vectors
+    cls = type(model)
 
     def _init_and_step(params, features, c_v, rng):
         c_v = c_v if needs_cv else None
         carry = model.apply({"params": params}, features, c_v,
-                            rngs={"z": rng}, method=CVAEModel.decode_init)
+                            rngs={"z": rng}, method=cls.decode_init)
 
         def step_fn(carry, tokens):
             return model.apply({"params": params}, carry, tokens,
-                               method=CVAEModel.decode_step)
+                               method=cls.decode_step)
 
         return carry, step_fn
 
@@ -105,7 +108,8 @@ def run_inference(
     output_dir: str = ".",
 ) -> Dict[str, str]:
     """Full inference pass (ref ops/inference.py:4-56)."""
-    model = CVAEModel.from_config(cfg)
+    from vae_captioning_tpu.train import build_model
+    model = build_model(cfg)
     fns = make_decode_fns(model, cfg, vocab)
     rng = jax.random.PRNGKey(cfg.seed)
     written: Dict[str, str] = {}

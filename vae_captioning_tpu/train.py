@@ -65,25 +65,55 @@ def _base_optimizer(kind: str, lr) -> optax.GradientTransformation:
     raise ValueError(f"unknown optimizer {kind!r}")
 
 
-def make_optimizer(cfg: Config,
-                   fine_tune_labels: bool = False) -> optax.GradientTransformation:
-    """Non-CNN chain; with ``fine_tune_labels`` a multi_transform routing
-    'cnn'-labeled params to the CNN chain."""
-    main_tx = optax.chain(
+def _main_tx(cfg: Config) -> optax.GradientTransformation:
+    return optax.chain(
         optax.clip_by_global_norm(cfg.lstm_clip_by_norm),
         _base_optimizer(cfg.optimizer,
                         _lr_schedule(cfg, cfg.learning_rate, cfg.optimizer)),
     )
-    if not fine_tune_labels:
-        return main_tx
-    cnn_tx = optax.chain(
+
+
+def _cnn_tx(cfg: Config) -> optax.GradientTransformation:
+    return optax.chain(
         optax.add_decayed_weights(cfg.weight_decay),  # ≙ tf l2_regularizer grad
         _base_optimizer(cfg.cnn_optimizer,
                         _lr_schedule(cfg, cfg.cnn_lr, cfg.cnn_optimizer)),
     )
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """The non-CNN optimizer chain (ref non_cnn_optimizer)."""
+    return _main_tx(cfg)
+
+
+def make_finetune_optimizer(cfg: Config) -> optax.GradientTransformation:
+    """Fine-tune routing (ref ops/optimizers.py cnn_optimizer +
+    image_embeddings trainable_fe/trainable_top): VGG conv layers and fc
+    layers each get the CNN chain or are frozen, everything else gets the
+    main chain."""
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    frozen = optax.set_to_zero()
+
     def label_fn(params):
-        return {k: ("cnn" if k == "vgg16" else "main") for k in params}
-    return optax.multi_transform({"main": main_tx, "cnn": cnn_tx}, label_fn)
+        flat = flatten_dict(params)
+        labels = {}
+        for path in flat:
+            if path[0] == "vgg16":
+                labels[path] = ("cnn_top" if str(path[1]).startswith("fc")
+                                else "cnn_fe")
+            else:
+                labels[path] = "main"
+        return unflatten_dict(labels)
+
+    return optax.multi_transform(
+        {
+            "main": _main_tx(cfg),
+            "cnn_fe": _cnn_tx(cfg) if cfg.fine_tune_fe else frozen,
+            "cnn_top": _cnn_tx(cfg) if cfg.fine_tune_top else frozen,
+        },
+        label_fn,
+    )
 
 
 # ----------------------------------------------------------------------
@@ -101,15 +131,37 @@ class TrainState(flax.struct.PyTreeNode):
                    opt_state=tx.init(params))
 
 
+def build_model(cfg: Config):
+    """The right module for the config: feature-fed CVAE, or the combined
+    VGG16+CVAE fine-tune model."""
+    if cfg.fine_tune:
+        from vae_captioning_tpu.models.finetune import FineTuneModel
+        return FineTuneModel.from_config(cfg)
+    return CVAEModel.from_config(cfg)
+
+
 def init_model(cfg: Config, rng: jax.Array,
-               model: Optional[CVAEModel] = None) -> Tuple[CVAEModel, Any]:
-    """Initialize params with dummy shapes."""
-    model = model or CVAEModel.from_config(cfg)
+               model: Optional[Any] = None) -> Tuple[Any, Any]:
+    """Initialize params with dummy shapes; in fine-tune mode also loads
+    the ImageNet npz into the vgg16 subtree when the file exists."""
+    model = model or build_model(cfg)
     B, T = 2, 8
     rngs = {"params": rng, "z": jax.random.PRNGKey(0),
             "sample": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)}
     dummy_cv = (jnp.zeros((B, cfg.num_clusters), jnp.float32)
                 if cfg.needs_cluster_vectors else None)
+    if cfg.fine_tune:
+        dummy_images = jnp.zeros((B, 224, 224, 3), jnp.float32)
+        variables = model.init(rngs, dummy_images,
+                               jnp.zeros((B, T), jnp.int32),
+                               jnp.zeros((B, T), jnp.int32),
+                               jnp.ones((B,), jnp.int32), dummy_cv)
+        params = dict(variables["params"])
+        import os
+        if os.path.exists(cfg.image_net_weights_path):
+            from vae_captioning_tpu.models.finetune import load_vgg_into_params
+            params = load_vgg_into_params(params, cfg.image_net_weights_path)
+        return model, params
     variables = model.init(
         rngs,
         jnp.zeros((B, cfg.cnn_feature_size), jnp.float32),
@@ -201,7 +253,8 @@ class Trainer:
         self.mesh = mesh if mesh is not None else mesh_lib.create_mesh(
             axis_name=cfg.mesh_axis)
         self.model, params = init_model(cfg, jax.random.PRNGKey(cfg.seed))
-        self.tx = make_optimizer(cfg, fine_tune_labels=False)
+        self.tx = (make_finetune_optimizer(cfg) if cfg.fine_tune
+                   else make_optimizer(cfg))
         params = mesh_lib.replicate(params, self.mesh)
         self.state = TrainState.create(params, self.tx)
         self.train_step = make_train_step(self.model, self.tx, cfg)
@@ -244,6 +297,11 @@ class Trainer:
             log_every: int = 500) -> Dict[str, float]:
         cfg = self.cfg
         metrics: Dict[str, float] = {}
+        logger = None
+        if cfg.logging:  # structured JSONL metrics (SURVEY §5 rebuild)
+            from vae_captioning_tpu.utils.logging import MetricLogger
+            logger = MetricLogger(cfg.log_dir, echo=False,
+                                  run_name=cfg.checkpoint)
         for epoch in range(cfg.num_epochs):
             seen = 0
             t0 = time.time()
@@ -261,6 +319,9 @@ class Trainer:
                               f"KLD: {metrics['kld']:.4f} "
                               f"Annealing: {metrics['annealing']:.3f} "
                               f"({rate:.1f} ex/s)")
+                        if logger is not None:
+                            logger.log(step, metrics, epoch=epoch,
+                                       examples_per_sec=round(rate, 1))
                     if seen > cfg.num_ex_per_epoch:
                         break
             if val_batcher is not None:
@@ -269,5 +330,7 @@ class Trainer:
                 metrics["val_rec_loss"] = val_rec
             if checkpointer is not None:
                 checkpointer.save(self.state)
+        if logger is not None:
+            logger.close()
         return {k: float(np.mean(v)) for k, v in
                 (metrics or {"loss": np.nan}).items()}
