@@ -90,6 +90,8 @@ class Config:
     coco_dir: str = "./mscoco/"
     hdf5_file: str = ""         # derived: <coco_dir>/train_val.hdf5
     use_hdf5: bool = False
+    raw_images_file: str = ""   # derived: <coco_dir>/train_val.bin (native
+                                # mmap loader; preferred over HDF5 if present)
     gen_val_captions: int = 4000  # -1: no repartition
     keep_words: int = 3         # vocab min-count
     cap_max_length: int = 100
@@ -110,6 +112,8 @@ class Config:
     def __post_init__(self):
         if not self.hdf5_file:
             self.hdf5_file = os.path.join(self.coco_dir, "train_val.hdf5")
+        if not self.raw_images_file:
+            self.raw_images_file = os.path.join(self.coco_dir, "train_val.bin")
         self.validate()
 
     # ------------------------------------------------------------------

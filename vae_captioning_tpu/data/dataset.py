@@ -81,6 +81,10 @@ class Data:
     def _image_store(self):
         if not self.config.fine_tune:
             return None
+        # preference order: native mmap loader → HDF5 → per-jpg decode
+        if os.path.exists(self.config.raw_images_file):
+            from vae_captioning_tpu.data.native_loader import RawImageStore
+            return RawImageStore(self.config.raw_images_file)
         if self.config.use_hdf5 and os.path.exists(self.config.hdf5_file):
             from vae_captioning_tpu.data.images import Hdf5ImageStore
             return Hdf5ImageStore(self.config.hdf5_file)

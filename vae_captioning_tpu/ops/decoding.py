@@ -24,10 +24,12 @@ model; carry is any PyTree with leading dim N.
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Tuple
+from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from vae_captioning_tpu.ops.topk_pallas import top_k_logsumexp
 
 NEG_INF = -1.0e9
 # ln(1e-12), the reference's zero-probability skip threshold
@@ -111,6 +113,7 @@ def beam_search(
     eos_id: int,
     max_len: int,
     len_norm_f: float = 0.7,
+    use_pallas: Optional[bool] = None,   # None = auto (TPU → Pallas kernel)
 ) -> BeamResult:
     """Batched beam search, fully on device.
 
@@ -136,16 +139,22 @@ def beam_search(
         carry, tokens, alive_seq, alive_logp, fin_seq, fin_scores = state
 
         carry, logits = step_fn(carry, tokens.reshape(B * K))
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        V = logp.shape[-1]
-        logp = jnp.where(logp < _LOG_PROB_FLOOR, NEG_INF, logp)  # p<1e-12 skip
+        logits = logits.astype(jnp.float32)
 
         # reference semantics (decoder.py:268-291): each beam expands only
         # its OWN top-K tokens, then all K² candidates merge.  (The common
         # global top-2K shortcut admits EOS completions the reference
         # would never see.)
-        per_beam_logp, per_beam_tok = jax.lax.top_k(
-            logp.reshape(B, K, V), K)                            # [B, K, K]
+        #
+        # Fused top-K + logsumexp (Pallas on TPU): top-K indices over raw
+        # logits equal those over log-probs, so only the K winners are
+        # normalized — never materializing log_softmax over V.
+        vals, toks, lse = top_k_logsumexp(logits, K, use_pallas)
+        logp_top = vals - lse[:, None]                           # [B·K, K]
+        logp_top = jnp.where(logp_top < _LOG_PROB_FLOOR, NEG_INF,
+                             logp_top)                           # p<1e-12 skip
+        per_beam_logp = logp_top.reshape(B, K, K)
+        per_beam_tok = toks.reshape(B, K, K)
         cand = alive_logp[:, :, None] + per_beam_logp            # [B, K, K]
         top_logp = cand.reshape(B, K * K)                        # [B, K²]
         beam_idx = jnp.repeat(
