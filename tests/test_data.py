@@ -274,3 +274,34 @@ def test_config_needs_cluster_vectors():
     assert Config(prior="GMM").needs_cluster_vectors
     assert not Config(prior="Normal").needs_cluster_vectors
     assert Config(prior="Normal", use_c_v=True).needs_cluster_vectors
+
+
+def test_detections_json_cli(tmp_path, mini_coco):
+    import json
+    paths = coco_paths(mini_coco)
+    dets = [
+        {"file_name": "img_a.jpg", "category_id": 3, "score": 0.9},
+        {"file_name": "img_a.jpg", "category_id": 7, "score": 0.4},
+        {"image_id": 12345, "category_id": 5, "score": 0.8},
+    ]
+    dp = tmp_path / "dets.json"
+    dp.write_text(json.dumps(dets))
+    out = str(tmp_path / "c_v_test.npz")
+    cv_lib.main(["--detections_json", str(dp), "--output", out,
+                 "--score_threshold", "0.5"])
+    vecs = cv_lib.load(out)
+    assert vecs["img_a.jpg"][3] == 1.0  # only the 0.9 det survives 0.5
+    assert vecs["img_a.jpg"][7] == 0.0
+    assert vecs["12345"][5] == 1.0
+
+
+def test_category_index(mini_coco, tmp_path):
+    import json
+    # fixture instances have no categories section; fabricate one
+    inst = {"images": [], "annotations": [],
+            "categories": [{"id": 1, "name": "person"},
+                           {"id": 18, "name": "dog"}]}
+    p = tmp_path / "inst.json"
+    p.write_text(json.dumps(inst))
+    idx = cv_lib.category_index(str(p))
+    assert idx == {1: "person", 18: "dog"}

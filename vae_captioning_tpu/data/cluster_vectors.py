@@ -110,20 +110,56 @@ def lookup_batch(vectors: Optional[Dict[str, np.ndarray]],
     return np.stack(out)
 
 
+def load_detections_json(path: str):
+    """Read a detections JSON (COCO results format:
+    ``[{"image_id"|"file_name", "category_id", "score"}]``) into the
+    (file_name, [(cat, score), ...]) shape ``build_from_detections``
+    expects.  ``file_name`` wins over ``image_id`` when both present."""
+    import json as _json
+
+    with open(path) as f:
+        dets = _json.load(f)
+    per_image: Dict[str, list] = {}
+    for d in dets:
+        key = d.get("file_name") or str(d["image_id"])
+        per_image.setdefault(key, []).append(
+            (int(d["category_id"]), float(d.get("score", 1.0))))
+    return per_image.items()
+
+
+def category_index(instances_json: str) -> Dict[int, str]:
+    """COCO category id → name map (the reference ships this as
+    ``obj_vectors/category_index.pickle``; we derive it from the
+    instances annotations' ``categories`` section)."""
+    with open(instances_json) as f:
+        j = json.load(f)
+    return {c["id"]: c["name"] for c in j.get("categories", [])}
+
+
 def main(argv=None) -> None:
-    """CLI: regenerate train/val cluster vectors from COCO instances."""
+    """CLI: build cluster vectors from COCO instances (train/val) or a
+    detections JSON (test split, ref prepare_test_vectors.ipynb)."""
     import argparse
 
     p = argparse.ArgumentParser(description="Build cluster vectors from COCO "
-                                "instances annotations")
-    p.add_argument("--instances_json", required=True, nargs="+",
-                   help="one or more instances_*.json files (merged)")
+                                "instances annotations or detector outputs")
+    p.add_argument("--instances_json", nargs="+", default=[],
+                   help="instances_*.json files (merged; ground truth)")
+    p.add_argument("--detections_json", default=None,
+                   help="COCO-results-format detections (test split)")
+    p.add_argument("--score_threshold", type=float, default=0.5)
     p.add_argument("--output", required=True,
                    help="output path (.npz or .pickle)")
     args = p.parse_args(argv)
+    if not args.instances_json and not args.detections_json:
+        p.error("provide --instances_json and/or --detections_json")
     merged: Dict[str, np.ndarray] = {}
     for path in args.instances_json:
         merged.update(build_from_instances(path))
+    if args.detections_json:
+        merged.update(build_from_detections(
+            load_detections_json(args.detections_json),
+            args.score_threshold))
     save(merged, args.output)
     print(f"wrote {len(merged)} cluster vectors to {args.output}")
 

@@ -302,6 +302,7 @@ class Trainer:
             from vae_captioning_tpu.utils.logging import MetricLogger
             logger = MetricLogger(cfg.log_dir, echo=False,
                                   run_name=cfg.checkpoint)
+        profiling = False
         for epoch in range(cfg.num_epochs):
             seen = 0
             t0 = time.time()
@@ -310,6 +311,14 @@ class Trainer:
                     m = self.run_step(batch)
                     seen += batch.batch_size
                     step = int(self.state.step)
+                    if cfg.profile:  # steps 10-20 → Perfetto trace
+                        if step == 10 and not profiling:
+                            jax.profiler.start_trace(cfg.log_dir)
+                            profiling = True
+                        elif step == 20 and profiling:
+                            jax.profiler.stop_trace()
+                            profiling = False
+                            print(f"profiler trace written to {cfg.log_dir}")
                     if step % log_every == 0:
                         metrics = {k: float(np.mean(v)) for k, v in m.items()}
                         rate = seen / max(time.time() - t0, 1e-9)
