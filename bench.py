@@ -23,7 +23,7 @@ import numpy as np
 
 BASELINE_PER_CHIP = 625.0  # 5000 img/s on 8 chips
 BEAM = 3
-BATCH = 512
+BATCH = 2048  # batch-size sweep in PERF.md; 2048 best per-chip throughput
 GEN_MAX_LEN = 30
 VOCAB = 11500
 
