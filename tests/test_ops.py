@@ -210,3 +210,26 @@ def test_lstm_forget_bias():
     (c1, _), _ = cell.apply(zeroed, (c0, h0), x)
     np.testing.assert_allclose(np.asarray(c1), 1 / (1 + np.exp(-1.0)),
                                rtol=1e-5)
+
+
+# ---------------------------------------------------------------- layers
+
+def test_highway_network():
+    from vae_captioning_tpu.ops.layers import HighwayNetwork
+    hw = HighwayNetwork(num_layers=2)
+    x = jnp.ones((4, 16))
+    params = hw.init(jax.random.PRNGKey(0), x)
+    y = hw.apply(params, x)
+    assert y.shape == x.shape
+    # with zeroed params the gate is sigmoid(-1)≈0.27 → mostly carry
+    zeroed = jax.tree.map(jnp.zeros_like, params)
+    # restore the -1 bias on the transform gates
+    import flax
+    flat = flax.traverse_util.flatten_dict(zeroed)
+    for path in flat:
+        if path[-2].startswith("t_") and path[-1] == "bias":
+            flat[path] = flat[path] - 1.0
+    zeroed = flax.traverse_util.unflatten_dict(flat)
+    y0 = hw.apply(zeroed, x)
+    carry = 1 / (1 + np.exp(-1.0))  # 1 - sigmoid(-1) = sigmoid(1)
+    np.testing.assert_allclose(np.asarray(y0), carry**2, rtol=1e-4)

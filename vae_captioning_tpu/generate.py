@@ -84,9 +84,14 @@ class Generator:
     # ------------------------------------------------------------------
     def generate_caption(self, img_path: str, beam_size: Optional[int] = None,
                          cluster_vector: Optional[np.ndarray] = None,
-                         seed: Optional[int] = None) -> List[Dict]:
+                         seed: Optional[int] = None,
+                         return_beams: bool = False) -> List[Dict]:
         """→ ``[{'image_id': <file name>, 'caption': <str>}]``
-        (the reference's return shape, gen_caption.py:67-130)."""
+        (the reference's return shape, gen_caption.py:67-130).
+
+        ``return_beams=True`` (beam_search only) puts a best-first list of
+        all beam captions under 'caption' — the reference's ``ret_beams``
+        (vae_model/decoder.py:311-319)."""
         cfg = self.cfg
         if beam_size is not None and beam_size != cfg.beam_size:
             cfg = cfg.replace(beam_size=beam_size)
@@ -104,6 +109,17 @@ class Generator:
         else:
             c_v = jnp.zeros((1, cfg.num_clusters), jnp.float32)
         rng = (jax.random.PRNGKey(seed) if seed is not None else self._rng)
+        if return_beams:
+            if self.gen_method != "beam_search":
+                raise ValueError("return_beams requires gen_method="
+                                 "'beam_search'")
+            tokens, _ = self._fns["beam_search_all"](self.params, features,
+                                                     c_v, rng)
+            beams = [tokens_to_text(row, self.vocab.idx2word,
+                                    self.vocab.eos_id)
+                     for row in np.asarray(tokens[0])]
+            return [{"image_id": os.path.basename(img_path),
+                     "caption": beams}]
         res = self._fns[self.gen_method](self.params, features, c_v, rng)
         tokens = np.asarray(res[0] if isinstance(res, tuple) else res)
         caption = tokens_to_text(tokens[0], self.vocab.idx2word,

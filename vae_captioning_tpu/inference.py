@@ -57,6 +57,16 @@ def make_decode_fns(model, cfg: Config, vocab: Vocabulary):
         return result.tokens[:, 0], result.scores[:, 0]
 
     @jax.jit
+    def beam_all_fn(params, features, c_v, rng):
+        """All beams, best-first (ref ret_beams, decoder.py:311-319)."""
+        carry, step_fn = _init_and_step(params, features, c_v, rng)
+        result = beam_search(step_fn, carry, features.shape[0],
+                             beam_size=cfg.beam_size, bos_id=bos, eos_id=eos,
+                             max_len=cfg.gen_max_len,
+                             len_norm_f=cfg.len_norm_f)
+        return result.tokens, result.scores
+
+    @jax.jit
     def greedy_fn(params, features, c_v, rng):
         carry, step_fn = _init_and_step(params, features, c_v, rng)
         return sample_decode(step_fn, carry, features.shape[0], bos_id=bos,
@@ -70,7 +80,8 @@ def make_decode_fns(model, cfg: Config, vocab: Vocabulary):
                              mode="sample", temperature=cfg.temperature,
                              rng=jax.random.fold_in(rng, 1))
 
-    return {"beam_search": beam_fn, "greedy": greedy_fn, "sample": sample_fn}
+    return {"beam_search": beam_fn, "beam_search_all": beam_all_fn,
+            "greedy": greedy_fn, "sample": sample_fn}
 
 
 def generate_captions(
