@@ -224,3 +224,26 @@ def test_tokens_to_text():
     idx2word = {0: "<PAD>", 1: "<BOS>", 2: "<EOS>", 3: "a", 4: "dog"}
     assert tokens_to_text([3, 4, 2, 3, 3], idx2word, 2) == "a dog"
     assert tokens_to_text([3, 4, 0, 0], idx2word, 2) == "a dog"
+
+
+def test_early_exit_identical_results():
+    """Bound-based early termination must not change any output, even
+    when EOS dominates early (where the exit actually fires)."""
+    rng = np.random.default_rng(11)
+    W_tok = jnp.asarray(rng.normal(0, 1.0, (V, 6)).astype(np.float32))
+    W_out = np.asarray(rng.normal(0, 1.5, (6, V)), np.float32)
+    W_out[:, EOS] += 3.0  # strong EOS pull → beams finish fast
+    W_out = jnp.asarray(W_out)
+    W_h = jnp.asarray(rng.normal(0, 0.7, (6, 6)).astype(np.float32))
+
+    def step_fn(carry, tokens):
+        h = jnp.tanh(carry @ W_h + W_tok[tokens])
+        return h, h @ W_out
+
+    init = jnp.asarray(rng.normal(0, 1, (4, 6)).astype(np.float32))
+    kw = dict(beam_size=3, bos_id=BOS, eos_id=EOS, max_len=20)
+    a = beam_search(step_fn, init, 4, early_exit=True, **kw)
+    b = beam_search(step_fn, init, 4, early_exit=False, **kw)
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+    np.testing.assert_allclose(np.asarray(a.scores), np.asarray(b.scores),
+                               rtol=1e-5)

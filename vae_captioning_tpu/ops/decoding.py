@@ -114,6 +114,7 @@ def beam_search(
     max_len: int,
     len_norm_f: float = 0.7,
     use_pallas: Optional[bool] = None,   # None = auto (TPU → Pallas kernel)
+    early_exit: bool = True,             # exact bound-based termination
 ) -> BeamResult:
     """Batched beam search, fully on device.
 
@@ -191,8 +192,35 @@ def beam_search(
                 new_fin_seq, new_fin_scores), None
 
     state0 = (carry0, tokens0, alive_seq0, alive_logp0, fin_seq0, fin_scores0)
-    (carry, tokens, alive_seq, alive_logp, fin_seq, fin_scores), _ = (
-        jax.lax.scan(body, state0, jnp.arange(max_len)))
+
+    if early_exit:
+        # Exact early termination: log-probs only decrease, and the most
+        # favorable future length normalizer is max_len, so the best any
+        # alive beam can still score is max(alive_logp)/norm(max_len).
+        # Once that bound is below every image's worst KEPT finished
+        # score, further steps cannot change the result.
+        final_norm = (float(max_len + 1) ** len_norm_f
+                      if len_norm_f > 0 else 1.0)
+
+        def cond(loop_state):
+            t, state = loop_state
+            _, _, _, alive_logp, _, fin_scores = state
+            best_possible = jnp.max(alive_logp, axis=1) / final_norm
+            worst_kept = jnp.min(fin_scores, axis=1)
+            can_improve = best_possible > worst_kept
+            return jnp.logical_and(t < max_len, jnp.any(can_improve))
+
+        def while_body(loop_state):
+            t, state = loop_state
+            state, _ = body(state, t)
+            return t + 1, state
+
+        _, (carry, tokens, alive_seq, alive_logp, fin_seq, fin_scores) = (
+            jax.lax.while_loop(cond, while_body,
+                               (jnp.asarray(0, jnp.int32), state0)))
+    else:
+        (carry, tokens, alive_seq, alive_logp, fin_seq, fin_scores), _ = (
+            jax.lax.scan(body, state0, jnp.arange(max_len)))
 
     # fallback to partials when nothing completed (ref :295-299): partial
     # captions keep their raw log-prob as score
