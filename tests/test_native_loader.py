@@ -91,3 +91,53 @@ def test_gather_throughput(packed):
     mb = n * len(names) * 64 * 64 * 3 / 1e6
     assert mb / dt > 100, f"native gather too slow: {mb/dt:.1f} MB/s"
     store.close()
+
+
+def test_hdf5_store_scatter_order(tmp_path, mini_coco):
+    """Hdf5ImageStore must return rows in request order despite h5py's
+    increasing-index requirement (ref utils/batch_gen.py:152-162)."""
+    from vae_captioning_tpu.data.images import Hdf5ImageStore, pack_images_to_hdf5
+    out = str(tmp_path / "imgs.h5")
+    index = pack_images_to_hdf5(
+        [os.path.join(mini_coco, "images", "train2014")], out, size=32)
+    store = Hdf5ImageStore(out)
+    names = list(index)
+    got = store.get_batch([names[5], names[1], names[8]])
+    import h5py
+    with h5py.File(out) as h5:
+        np.testing.assert_array_equal(got[0], h5["images"][index[names[5]]])
+        np.testing.assert_array_equal(got[1], h5["images"][index[names[1]]])
+        np.testing.assert_array_equal(got[2], h5["images"][index[names[8]]])
+    store.close()
+
+
+def test_batcher_prefetches_next_batch(packed, mini_coco):
+    """train_batches must call image_store.prefetch with the NEXT chunk."""
+    out, index = packed
+    from vae_captioning_tpu.data.coco import CocoCaptions, coco_paths
+    from vae_captioning_tpu.data.vocabulary import Vocabulary
+    from vae_captioning_tpu.data.batcher import CaptionBatcher
+    paths = coco_paths(mini_coco)
+    caps = CocoCaptions(paths["train_cap_json"])
+    vocab = Vocabulary.build(caps.all_tokenized(), keep_words=1)
+    caps.index_captions(vocab)
+
+    calls = []
+
+    class SpyStore(RawImageStore):
+        def prefetch(self, filenames):
+            calls.append(list(filenames))
+            super().prefetch(filenames)
+
+    store = SpyStore(out)
+    from glob import glob
+    files = sorted(glob(os.path.join(paths["train_dir"], "*.jpg")))
+    batcher = CaptionBatcher(files, caps.captions_indexed, 4,
+                             image_store=store, seed=0)
+    batches = list(batcher.train_batches())
+    assert len(batches) == 2
+    # lookahead fired before each batch (2nd looks past the epoch's limit
+    # into the dropped remainder — harmless page warming)
+    assert len(calls) == 2
+    assert len(calls[0]) == 4
+    store.close()

@@ -32,12 +32,20 @@ class Checkpointer:
 
     # ------------------------------------------------------------------
     def save(self, state: Any, step: Optional[int] = None) -> None:
+        """Async save: returns once the state is snapshotted; the write
+        completes in the background (SURVEY §5 rebuild: 'per-N-step Orbax
+        checkpointing with async save').  A still-running previous save
+        is drained first."""
+        self._mgr.wait_until_finished()
         step = int(state.step) if step is None else int(step)
         self._mgr.save(step, args=ocp.args.StandardSave(state))
+
+    def wait(self) -> None:
         self._mgr.wait_until_finished()
 
     def restore(self, abstract_state: Any,
                 step: Optional[int] = None) -> Any:
+        self._mgr.wait_until_finished()
         step = self.latest_step() if step is None else step
         if step is None:
             raise FileNotFoundError(
@@ -46,9 +54,11 @@ class Checkpointer:
                                  args=ocp.args.StandardRestore(abstract_state))
 
     def latest_step(self) -> Optional[int]:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def close(self) -> None:
+        self._mgr.wait_until_finished()
         self._mgr.close()
 
 

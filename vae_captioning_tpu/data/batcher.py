@@ -186,12 +186,22 @@ class CaptionBatcher:
     # ------------------------------------------------------------------
     def train_batches(self, num_captions: int = 1,
                       drop_remainder: bool = True) -> Iterator[Batch]:
-        """One shuffled epoch (ref utils/batch_gen.py:164-205)."""
+        """One shuffled epoch (ref utils/batch_gen.py:164-205).
+
+        When the image store supports it (native loader), the NEXT
+        batch's pages are prefetched while the current one is built, so
+        fine-tune steps never wait on cold page-cache reads."""
         order = self.rng.permutation(len(self.filenames))
         files = [self.filenames[i] for i in order]
         limit = len(files) - (len(files) % self.batch_size if drop_remainder else 0)
+        prefetch = getattr(self.image_store, "prefetch", None)
         for start in range(0, limit, self.batch_size):
             chunk = files[start:start + self.batch_size]
+            if prefetch is not None:
+                nxt = files[start + self.batch_size:
+                            start + 2 * self.batch_size]
+                if nxt:
+                    prefetch(nxt)
             yield self._emit(chunk, num_captions, with_ids=False,
                              pad_to_full=True)
 
