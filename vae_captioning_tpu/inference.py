@@ -35,6 +35,12 @@ def make_decode_fns(model, cfg: Config, vocab: Vocabulary):
     bos, eos = vocab.bos_id, vocab.eos_id
     needs_cv = cfg.needs_cluster_vectors
     cls = type(model)
+    fused = jax.default_backend() == "tpu"  # compiled Pallas path only
+
+    def _logits_head(params):
+        sub = params["cvae"] if "cvae" in params else params
+        head = sub["decoder"]["rnn_logits"]
+        return head["kernel"], head["bias"]
 
     def _init_and_step(params, features, c_v, rng):
         c_v = c_v if needs_cv else None
@@ -47,23 +53,41 @@ def make_decode_fns(model, cfg: Config, vocab: Vocabulary):
 
         return carry, step_fn
 
+    def _step_topk_fn(params, k):
+        """Fused decode step: LSTM → one Pallas kernel for
+        logits+top-K+logsumexp (no [N, V] logits in HBM)."""
+        from vae_captioning_tpu.ops.fused_logits_topk import fused_logits_top_k
+        w, b = _logits_head(params)
+
+        def fn(carry, tokens):
+            carry, h = model.apply({"params": params}, carry, tokens,
+                                   method=cls.decode_step_hidden)
+            vals, idx, lse = fused_logits_top_k(h, w, b, k)
+            return carry, vals, idx, lse
+
+        return fn
+
     @jax.jit
     def beam_fn(params, features, c_v, rng):
         carry, step_fn = _init_and_step(params, features, c_v, rng)
-        result = beam_search(step_fn, carry, features.shape[0],
-                             beam_size=cfg.beam_size, bos_id=bos, eos_id=eos,
-                             max_len=cfg.gen_max_len,
-                             len_norm_f=cfg.len_norm_f)
+        result = beam_search(
+            step_fn, carry, features.shape[0],
+            beam_size=cfg.beam_size, bos_id=bos, eos_id=eos,
+            max_len=cfg.gen_max_len, len_norm_f=cfg.len_norm_f,
+            step_topk_fn=_step_topk_fn(params, cfg.beam_size) if fused
+            else None)
         return result.tokens[:, 0], result.scores[:, 0]
 
     @jax.jit
     def beam_all_fn(params, features, c_v, rng):
         """All beams, best-first (ref ret_beams, decoder.py:311-319)."""
         carry, step_fn = _init_and_step(params, features, c_v, rng)
-        result = beam_search(step_fn, carry, features.shape[0],
-                             beam_size=cfg.beam_size, bos_id=bos, eos_id=eos,
-                             max_len=cfg.gen_max_len,
-                             len_norm_f=cfg.len_norm_f)
+        result = beam_search(
+            step_fn, carry, features.shape[0],
+            beam_size=cfg.beam_size, bos_id=bos, eos_id=eos,
+            max_len=cfg.gen_max_len, len_norm_f=cfg.len_norm_f,
+            step_topk_fn=_step_topk_fn(params, cfg.beam_size) if fused
+            else None)
         return result.tokens, result.scores
 
     @jax.jit

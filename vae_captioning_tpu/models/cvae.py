@@ -181,6 +181,11 @@ class CVAEModel(nn.Module):
         """tokens [B] → (carry, logits [B, V])."""
         return self.decoder.step(carry, tokens)
 
+    def decode_step_hidden(self, carry: Carry,
+                           tokens: jax.Array) -> Tuple[Carry, jax.Array]:
+        """tokens [B] → (carry, hidden [B, H]); see Decoder.step_hidden."""
+        return self.decoder.step_hidden(carry, tokens)
+
 
 # ----------------------------------------------------------------------
 # loss assembly (ref main.py:118-177)

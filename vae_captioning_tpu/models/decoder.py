@@ -84,3 +84,12 @@ class Decoder(nn.Module):
         x = self.embedding(tokens)
         carry, h = self.lstm.step(carry, x, deterministic=True)
         return carry, self.logits_head(h).astype(jnp.float32)
+
+    def step_hidden(self, carry: Carry,
+                    tokens: jax.Array) -> Tuple[Carry, jax.Array]:
+        """Decode step stopping at the hidden state [B, H] — the input to
+        the fused logits+top-K Pallas kernel (ops/fused_logits_topk.py),
+        which applies the rnn_logits projection itself."""
+        x = self.embedding(tokens)
+        carry, h = self.lstm.step(carry, x, deterministic=True)
+        return carry, h

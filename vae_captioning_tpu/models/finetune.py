@@ -63,6 +63,10 @@ class FineTuneModel(nn.Module):
                     tokens: jax.Array) -> Tuple[Carry, jax.Array]:
         return self.cvae.decode_step(carry, tokens)
 
+    def decode_step_hidden(self, carry: Carry,
+                           tokens: jax.Array) -> Tuple[Carry, jax.Array]:
+        return self.cvae.decode_step_hidden(carry, tokens)
+
 
 def load_vgg_into_params(params: Any, weights_path: str) -> Any:
     """Replace the ``vgg16`` subtree with the Caffe-npz ImageNet weights

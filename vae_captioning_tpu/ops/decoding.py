@@ -115,6 +115,7 @@ def beam_search(
     len_norm_f: float = 0.7,
     use_pallas: Optional[bool] = None,   # None = auto (TPU → Pallas kernel)
     early_exit: bool = True,             # exact bound-based termination
+    step_topk_fn: Optional[Callable] = None,
 ) -> BeamResult:
     """Batched beam search, fully on device.
 
@@ -139,18 +140,23 @@ def beam_search(
     def body(state, t):
         carry, tokens, alive_seq, alive_logp, fin_seq, fin_scores = state
 
-        carry, logits = step_fn(carry, tokens.reshape(B * K))
-        logits = logits.astype(jnp.float32)
-
         # reference semantics (decoder.py:268-291): each beam expands only
         # its OWN top-K tokens, then all K² candidates merge.  (The common
         # global top-2K shortcut admits EOS completions the reference
         # would never see.)
         #
-        # Fused top-K + logsumexp (Pallas on TPU): top-K indices over raw
-        # logits equal those over log-probs, so only the K winners are
-        # normalized — never materializing log_softmax over V.
-        vals, toks, lse = top_k_logsumexp(logits, K, use_pallas)
+        # Fused top-K + logsumexp: top-K indices over raw logits equal
+        # those over log-probs, so only the K winners are normalized —
+        # never materializing log_softmax over V.  A ``step_topk_fn``
+        # (matmul+top-K+lse fused into one Pallas kernel, see
+        # ops/fused_logits_topk.py) skips the logits HBM roundtrip too.
+        if step_topk_fn is not None:
+            carry, vals, toks, lse = step_topk_fn(carry,
+                                                  tokens.reshape(B * K))
+        else:
+            carry, logits = step_fn(carry, tokens.reshape(B * K))
+            vals, toks, lse = top_k_logsumexp(logits.astype(jnp.float32),
+                                              K, use_pallas)
         logp_top = vals - lse[:, None]                           # [B·K, K]
         logp_top = jnp.where(logp_top < _LOG_PROB_FLOOR, NEG_INF,
                              logp_top)                           # p<1e-12 skip
