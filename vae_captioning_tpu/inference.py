@@ -90,11 +90,26 @@ def make_decode_fns(model, cfg: Config, vocab: Vocabulary):
             else None)
         return result.tokens, result.scores
 
+    def _step_argmax_fn(params):
+        """Greedy fast path: argmax = fused top-1, logits never in HBM."""
+        from vae_captioning_tpu.ops.fused_logits_topk import fused_logits_top_k
+        w, b = _logits_head(params)
+
+        def fn(carry, tokens):
+            carry, h = model.apply({"params": params}, carry, tokens,
+                                   method=cls.decode_step_hidden)
+            _, idx, _ = fused_logits_top_k(h, w, b, 1)
+            return carry, idx[:, 0]
+
+        return fn
+
     @jax.jit
     def greedy_fn(params, features, c_v, rng):
         carry, step_fn = _init_and_step(params, features, c_v, rng)
         return sample_decode(step_fn, carry, features.shape[0], bos_id=bos,
-                             eos_id=eos, max_len=cfg.gen_max_len)
+                             eos_id=eos, max_len=cfg.gen_max_len,
+                             step_argmax_fn=_step_argmax_fn(params) if fused
+                             else None)
 
     @jax.jit
     def sample_fn(params, features, c_v, rng):

@@ -53,6 +53,7 @@ def sample_decode(
     mode: str = "greedy",            # greedy | sample
     temperature: float = 1.0,
     rng: jax.Array | None = None,
+    step_argmax_fn: Any = None,      # greedy fast path: (carry, toks)→(carry, next)
 ) -> jax.Array:
     """Batched greedy/sampled decode → token ids [B, max_len]
     (EOS included; positions after EOS are PAD=0)."""
@@ -62,12 +63,15 @@ def sample_decode(
 
     def body(state, step_rng):
         carry, tokens, alive = state
-        carry, logits = step_fn(carry, tokens)
-        if mode == "sample":
-            nxt = jax.random.categorical(step_rng, logits / temperature,
-                                         axis=-1)
+        if mode == "greedy" and step_argmax_fn is not None:
+            carry, nxt = step_argmax_fn(carry, tokens)
         else:
-            nxt = jnp.argmax(logits, axis=-1)
+            carry, logits = step_fn(carry, tokens)
+            if mode == "sample":
+                nxt = jax.random.categorical(step_rng, logits / temperature,
+                                             axis=-1)
+            else:
+                nxt = jnp.argmax(logits, axis=-1)
         nxt = nxt.astype(jnp.int32)
         emitted = jnp.where(alive, nxt, 0)
         alive = jnp.logical_and(alive, nxt != eos_id)
