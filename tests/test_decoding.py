@@ -247,3 +247,12 @@ def test_early_exit_identical_results():
     np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
     np.testing.assert_allclose(np.asarray(a.scores), np.asarray(b.scores),
                                rtol=1e-5)
+
+
+def test_tokens_to_text_filters_bos():
+    idx2word = {0: "<PAD>", 1: "<BOS>", 2: "<EOS>", 3: "a", 4: "dog",
+                5: "<UNK>"}
+    # sampled sequences can contain BOS mid-stream (ref filters it) and
+    # UNK (ref keeps it)
+    assert tokens_to_text([3, 1, 4, 5, 2], idx2word, 2, bos_id=1) == \
+        "a dog <UNK>"

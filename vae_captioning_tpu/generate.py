@@ -116,14 +116,14 @@ class Generator:
             tokens, _ = self._fns["beam_search_all"](self.params, features,
                                                      c_v, rng)
             beams = [tokens_to_text(row, self.vocab.idx2word,
-                                    self.vocab.eos_id)
+                                    self.vocab.eos_id, self.vocab.bos_id)
                      for row in np.asarray(tokens[0])]
             return [{"image_id": os.path.basename(img_path),
                      "caption": beams}]
         res = self._fns[self.gen_method](self.params, features, c_v, rng)
         tokens = np.asarray(res[0] if isinstance(res, tuple) else res)
         caption = tokens_to_text(tokens[0], self.vocab.idx2word,
-                                 self.vocab.eos_id)
+                                 self.vocab.eos_id, self.vocab.bos_id)
         return [{"image_id": os.path.basename(img_path), "caption": caption}]
 
 

@@ -133,7 +133,7 @@ def generate_captions(
 ) -> List[Dict]:
     """Sweep a batcher, decode every image, return coco-eval dicts."""
     out: List[Dict] = []
-    idx2word, eos = vocab.idx2word, vocab.eos_id
+    idx2word, eos, bos = vocab.idx2word, vocab.eos_id, vocab.bos_id
     iterator = (batcher.image_batches() if image_batches
                 else batcher.eval_batches(with_ids=True))
     for i, batch in enumerate(iterator):
@@ -144,7 +144,7 @@ def generate_captions(
         for row in range(batch.valid):
             out.append({
                 "image_id": int(batch.image_ids[row]),
-                "caption": tokens_to_text(tokens[row], idx2word, eos),
+                "caption": tokens_to_text(tokens[row], idx2word, eos, bos),
             })
     return out
 

@@ -245,14 +245,20 @@ def beam_search(
     return BeamResult(tokens=out_seq, scores=out_scores)
 
 
-def tokens_to_text(token_row, idx2word, eos_id: int) -> str:
-    """Host-side: one token row → caption string (stops at EOS, drops PAD)."""
+def tokens_to_text(token_row, idx2word, eos_id: int,
+                   bos_id: Optional[int] = None) -> str:
+    """Host-side: one token row → caption string.
+
+    Stops at EOS, drops PAD and (when given) BOS — sample-mode decoding
+    can emit BOS mid-sequence and the reference filters it from the
+    joined text (decoder.py:198-199).  <UNK> is kept, as the reference
+    keeps it."""
     words = []
     for tok in token_row:
         tok = int(tok)
         if tok == eos_id:
             break
-        if tok == 0:
+        if tok == 0 or (bos_id is not None and tok == bos_id):
             continue
         words.append(idx2word[tok])
     return " ".join(words)
