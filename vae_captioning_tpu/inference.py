@@ -111,13 +111,30 @@ def make_decode_fns(model, cfg: Config, vocab: Vocabulary):
                              step_argmax_fn=_step_argmax_fn(params) if fused
                              else None)
 
+    def _step_sample_fn(params):
+        """Temperature sampling fast path: Gumbel-max fused with the
+        logits matmul (one categorical draw per row, no [N, V] in HBM)."""
+        from vae_captioning_tpu.ops.fused_logits_topk import fused_logits_sample
+        w, b = _logits_head(params)
+
+        def fn(carry, tokens, step_rng):
+            carry, h = model.apply({"params": params}, carry, tokens,
+                                   method=cls.decode_step_hidden)
+            seed = jax.random.randint(step_rng, (), 0, 2**31 - 1)
+            nxt = fused_logits_sample(h, w, b, seed, cfg.temperature)
+            return carry, nxt
+
+        return fn
+
     @jax.jit
     def sample_fn(params, features, c_v, rng):
         carry, step_fn = _init_and_step(params, features, c_v, rng)
         return sample_decode(step_fn, carry, features.shape[0], bos_id=bos,
                              eos_id=eos, max_len=cfg.gen_max_len,
                              mode="sample", temperature=cfg.temperature,
-                             rng=jax.random.fold_in(rng, 1))
+                             rng=jax.random.fold_in(rng, 1),
+                             step_sample_fn=_step_sample_fn(params) if fused
+                             else None)
 
     return {"beam_search": beam_fn, "beam_search_all": beam_all_fn,
             "greedy": greedy_fn, "sample": sample_fn}

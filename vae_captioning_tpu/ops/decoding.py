@@ -54,6 +54,7 @@ def sample_decode(
     temperature: float = 1.0,
     rng: jax.Array | None = None,
     step_argmax_fn: Any = None,      # greedy fast path: (carry, toks)→(carry, next)
+    step_sample_fn: Any = None,      # sample fast path: (carry, toks, rng)→(carry, next)
 ) -> jax.Array:
     """Batched greedy/sampled decode → token ids [B, max_len]
     (EOS included; positions after EOS are PAD=0)."""
@@ -65,6 +66,8 @@ def sample_decode(
         carry, tokens, alive = state
         if mode == "greedy" and step_argmax_fn is not None:
             carry, nxt = step_argmax_fn(carry, tokens)
+        elif mode == "sample" and step_sample_fn is not None:
+            carry, nxt = step_sample_fn(carry, tokens, step_rng)
         else:
             carry, logits = step_fn(carry, tokens)
             if mode == "sample":

@@ -180,6 +180,99 @@ def fused_logits_top_k(h: jax.Array, w: jax.Array, b: jax.Array, k: int
     return vals[:M], idx[:M], lse[:M, 0]
 
 
+def _sample_kernel(seed_ref, h_ref, w_ref, b_ref, tok_ref, rm_scratch,
+                   ri_scratch, *, v_real: int, bv: int, inv_temp: float):
+    """Gumbel-max categorical sampling fused with the logits matmul:
+    argmax_v(logits_v / T + G_v) ~ Categorical(softmax(logits / T)).
+    Running (max, argmax) merged across vocab tiles like the top-K
+    kernel; per-(tile, block) PRNG streams keep noise iid."""
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    BM = h_ref.shape[0]
+    cols = pl.ds(i * BM, BM)
+
+    @pl.when(j == 0)
+    def _init():
+        rm_scratch[0:1, cols] = jnp.full((1, BM), _NEG)
+        ri_scratch[0:1, cols] = jnp.zeros((1, BM), jnp.int32)
+
+    tile = jax.lax.dot_general(
+        h_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b_ref[0, :][None, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1) + j * bv
+
+    # one independent stream per (tile, block); Mosaic allows ≤2 seed values
+    pltpu.prng_seed(seed_ref[0], j * pl.num_programs(1) + i)
+    bits = pltpu.prng_random_bits(tile.shape)
+    # uniform in (0, 1): keep 23 bits so the int32→f32 cast is exact
+    # (Mosaic has no uint32→f32 cast)
+    u = (pltpu.bitcast(pltpu.bitcast(bits, jnp.uint32) >> 9, jnp.int32)
+         .astype(jnp.float32)) / (2.0**23)
+    u = jnp.clip(u, 1e-7, 1.0 - 1e-7)
+    gumbel = -jnp.log(-jnp.log(u))
+    scored = tile * inv_temp + gumbel
+    scored = jnp.where(col < v_real, scored, _NEG)
+
+    m_old = rm_scratch[0:1, cols].T
+    tile_max = jnp.max(scored, axis=-1, keepdims=True)
+    is_max = scored == tile_max
+    tile_arg = jnp.min(jnp.where(is_max, col, jnp.int32(2**30)),
+                       axis=-1, keepdims=True)
+    better = tile_max > m_old
+    rm_scratch[0:1, cols] = jnp.where(better, tile_max, m_old).T
+    i_old = ri_scratch[0:1, cols].T
+    ri_scratch[0:1, cols] = jnp.where(better, tile_arg, i_old).T
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _publish():
+        tok_ref[:, :] = ri_scratch[0:1, cols].T
+
+
+@functools.partial(jax.jit, static_argnames=("temperature",))
+def fused_logits_sample(h: jax.Array, w: jax.Array, b: jax.Array,
+                        seed: jax.Array, temperature: float = 1.0
+                        ) -> jax.Array:
+    """One fused categorical draw per row: tokens [M] int32 sampled from
+    softmax((h @ w + b) / temperature).  ``seed``: int32 scalar."""
+    M, H = h.shape
+    V = w.shape[1]
+    bv = _vocab_tile(1)
+    h16 = h.astype(jnp.bfloat16)
+    w16 = w.astype(jnp.bfloat16)
+    v_pad = (-V) % bv
+    if v_pad:
+        w16 = jnp.pad(w16, ((0, 0), (0, v_pad)))
+        b = jnp.pad(b, (0, v_pad))
+    m_pad = (-M) % _BM
+    if m_pad:
+        h16 = jnp.pad(h16, ((0, m_pad), (0, 0)))
+    Mp, Vp = h16.shape[0], w16.shape[1]
+
+    tokens = pl.pallas_call(
+        functools.partial(_sample_kernel, v_real=V, bv=bv,
+                          inv_temp=1.0 / temperature),
+        grid=(Vp // bv, Mp // _BM),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_BM, H), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, bv), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bv), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_BM, 1), lambda j, i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, 1), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((1, Mp), jnp.float32),   # running max (T)
+            pltpu.VMEM((1, Mp), jnp.int32),     # running argmax (T)
+        ],
+    )(seed.reshape(1).astype(jnp.int32), h16, w16,
+      b.astype(jnp.float32).reshape(1, -1))
+    return tokens[:M, 0]
+
+
 def fused_logits_top_k_xla(h, w, b, k):
     """Reference implementation (CPU / correctness tests) — same bf16
     matmul precision as the kernel so results compare exactly."""
