@@ -197,3 +197,32 @@ def test_checkpoint_sidecars(tmp_path):
     cfg2, vocab2 = load_sidecars(str(tmp_path), "run1")
     assert cfg2.prior == "AG"
     assert vocab2.word2idx == vocab.word2idx
+
+
+def test_padded_multicaption_batch_matches_unpadded_loss():
+    """Regression: with B=4 (< 8 devices) and K=5 captions, the padded
+    dp-sharded step must produce EXACTLY the unpadded loss — independent
+    per-array padding used to mispair images with captions."""
+    cfg = small_config(prior="Normal", num_captions=5, batch_size=4)
+    model, params = init_model(cfg, jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg)
+    step = make_train_step(model, tx, cfg, donate=False)
+    from vae_captioning_tpu.train import _flatten_batch
+    batch = make_host_batch(B=4, K=5)
+    rng = jax.random.PRNGKey(1)
+
+    # direct, unpadded
+    args = [jnp.asarray(x) for x in _flatten_batch(batch)]
+    s1 = TrainState.create(params, tx)
+    _, m1 = step(s1, *args, rng)
+
+    # through the Trainer (pads B 4→8 on the 8-device mesh)
+    trainer = Trainer(cfg)
+    trainer.state = TrainState.create(
+        mesh_lib.replicate(params, trainer.mesh), tx)
+    trainer._rng = rng
+    m2 = trainer.run_step(batch)
+    # padded caption rows are fully masked; rec_loss must match exactly
+    assert float(m1["rec_loss"]) == pytest.approx(float(m2["rec_loss"]),
+                                                  rel=1e-5), \
+        (float(m1["rec_loss"]), float(m2["rec_loss"]))

@@ -270,10 +270,27 @@ class Trainer:
 
     # --------------------------------------------------------------
     def _device_batch(self, batch: Batch):
-        arrays = _flatten_batch(batch)
+        """Shard a host batch, padding the image dim B up to a mesh
+        multiple.  B and B·K MUST be padded consistently (B → B', caption
+        arrays → B'·K): padding each leading dim independently would break
+        the model's K = rows(captions)/rows(features) inference and
+        silently mispair images with captions."""
+        features, enc, dec, lengths, c_v = _flatten_batch(batch)
         n = len(self.mesh.devices.ravel())
-        arrays = tuple(mesh_lib.pad_to_multiple(np.asarray(a), n)
-                       for a in arrays)
+        B = features.shape[0]
+        K = enc.shape[0] // B
+        Bp = -(-B // n) * n
+
+        def pad_to(x, rows):
+            x = np.asarray(x)
+            if x.shape[0] == rows:
+                return x
+            block = np.zeros((rows - x.shape[0], *x.shape[1:]), x.dtype)
+            return np.concatenate([x, block])
+
+        arrays = (pad_to(features, Bp), pad_to(enc, Bp * K),
+                  pad_to(dec, Bp * K), pad_to(lengths, Bp * K),
+                  pad_to(c_v, Bp))
         return mesh_lib.shard_batch(arrays, self.mesh, self.cfg.mesh_axis)
 
     def run_step(self, batch: Batch) -> Dict[str, float]:
