@@ -47,6 +47,7 @@ struct Loader {
   uint8_t* job_out = nullptr;
   std::atomic<int64_t> next_item{0};
   std::atomic<int64_t> done_items{0};
+  std::atomic<int> in_flight{0};   // workers inside the claim loop
   int64_t job_generation = 0;
 
   void worker_loop() {
@@ -59,6 +60,10 @@ struct Loader {
         });
         if (shutdown) return;
         seen_generation = job_generation;
+        // entering the claim loop is announced under the lock, so
+        // bl_gather's quiescence wait (in_flight == 0 under the same
+        // lock) cannot miss a late-starting worker of a previous job
+        in_flight.fetch_add(1);
       }
       for (;;) {
         int64_t i = next_item.fetch_add(1);
@@ -66,10 +71,12 @@ struct Loader {
         const int64_t row = job_indices[i];
         std::memcpy(job_out + size_t(i) * record_size,
                     base + size_t(row) * record_size, record_size);
-        if (done_items.fetch_add(1) + 1 == job_count) {
-          std::lock_guard<std::mutex> lock(mu);
-          cv_done.notify_all();
-        }
+        done_items.fetch_add(1);
+      }
+      {
+        std::lock_guard<std::mutex> lock(mu);
+        in_flight.fetch_sub(1);
+        cv_done.notify_all();
       }
     }
   }
@@ -121,7 +128,11 @@ int bl_gather(void* handle, const int64_t* rows, int64_t n, uint8_t* out) {
     if (rows[i] < 0 || rows[i] >= l->num_records) return -2;
   }
   {
-    std::lock_guard<std::mutex> lock(l->mu);
+    std::unique_lock<std::mutex> lock(l->mu);
+    // quiesce: no worker may still be inside a previous job's claim
+    // loop when the job fields and counters are rewritten, or it could
+    // steal item 0 of the new job / lose a done_items increment
+    l->cv_done.wait(lock, [&] { return l->in_flight.load() == 0; });
     l->job_indices = rows;
     l->job_count = n;
     l->job_out = out;
@@ -131,7 +142,9 @@ int bl_gather(void* handle, const int64_t* rows, int64_t n, uint8_t* out) {
     l->cv_work.notify_all();
   }
   std::unique_lock<std::mutex> lock(l->mu);
-  l->cv_done.wait(lock, [&] { return l->done_items.load() >= n; });
+  l->cv_done.wait(lock, [&] {
+    return l->done_items.load() >= n && l->in_flight.load() == 0;
+  });
   return 0;
 }
 

@@ -256,3 +256,25 @@ def test_tokens_to_text_filters_bos():
     # UNK (ref keeps it)
     assert tokens_to_text([3, 1, 4, 5, 2], idx2word, 2, bos_id=1) == \
         "a dog <UNK>"
+
+
+def test_floored_eos_never_finishes():
+    """Regression (review finding): an EOS whose prob was floored by the
+    p<1e-12 skip must NOT enter the finished pool — the reference falls
+    back to the best partial caption instead."""
+    # peaked LM: token 3 has ~all mass; EOS prob < 1e-12 but still in
+    # the per-beam top-K of a 4-token vocab
+    logits_row = np.full(V, -40.0, np.float32)
+    logits_row[3] = 40.0
+    logits_row[EOS] = 0.0  # p(EOS) ~ e^-40 < 1e-12
+
+    def step_fn(carry, tokens):
+        return carry, jnp.broadcast_to(jnp.asarray(logits_row),
+                                       (tokens.shape[0], V))
+
+    init = jnp.zeros((2, 4))
+    res = beam_search(step_fn, init, 2, beam_size=2, bos_id=BOS, eos_id=EOS,
+                      max_len=8)
+    # fallback-to-partials: best beam is all 3s with raw-logprob score ~0
+    assert (np.asarray(res.tokens[:, 0]) == 3).all(), np.asarray(res.tokens)
+    assert float(res.scores[0, 0]) > -1.0  # NOT a NEG_INF-derived score

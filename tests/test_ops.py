@@ -233,3 +233,13 @@ def test_highway_network():
     y0 = hw.apply(zeroed, x)
     carry = 1 / (1 + np.exp(-1.0))  # 1 - sigmoid(-1) = sigmoid(1)
     np.testing.assert_allclose(np.asarray(y0), carry**2, rtol=1e-4)
+
+
+def test_kl_row_mask_excludes_padding():
+    rng = np.random.default_rng(0)
+    mu = jnp.asarray(rng.normal(size=(4, 8)).astype(np.float32))
+    std = jnp.asarray(np.exp(rng.normal(size=(4, 8)) * 0.2).astype(np.float32))
+    mask = jnp.asarray([True, True, False, False])
+    got = float(dist.kl_standard_normal(mu, std, row_mask=mask))
+    want = float(dist.kl_standard_normal(mu[:2], std[:2]))
+    assert got == pytest.approx(want, rel=1e-6)

@@ -226,3 +226,38 @@ def test_padded_multicaption_batch_matches_unpadded_loss():
     assert float(m1["rec_loss"]) == pytest.approx(float(m2["rec_loss"]),
                                                   rel=1e-5), \
         (float(m1["rec_loss"]), float(m2["rec_loss"]))
+
+
+def test_fit_raises_on_dataset_smaller_than_batch():
+    """Regression: fit() used to spin forever when train_batches yielded
+    nothing (dataset < batch_size with drop_remainder)."""
+    cfg = small_config(batch_size=32, num_epochs=1, num_ex_per_epoch=100)
+    trainer = Trainer(cfg)
+
+    class EmptyBatcher:
+        def train_batches(self, num_captions=1, drop_remainder=True):
+            return iter(())
+
+    with pytest.raises(ValueError, match="batch_size"):
+        trainer.fit(EmptyBatcher())
+
+
+def test_kl_ignores_mesh_padding_rows():
+    """Padded rows (all-PAD captions) must not shift the KL term."""
+    cfg = small_config(prior="Normal", batch_size=4)
+    model, params = init_model(cfg, jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg)
+    step = make_train_step(model, tx, cfg, donate=False)
+    from vae_captioning_tpu.train import _flatten_batch
+    batch = make_host_batch(B=4, K=1)
+    args = [jnp.asarray(x) for x in _flatten_batch(batch)]
+    rng = jax.random.PRNGKey(1)
+    _, m1 = step(TrainState.create(params, tx), *args, rng)
+    trainer = Trainer(cfg)  # pads 4 → 8 on the mesh
+    trainer.state = TrainState.create(
+        mesh_lib.replicate(params, trainer.mesh), tx)
+    trainer._rng = rng
+    m2 = trainer.run_step(batch)
+    assert float(m1["kld"]) == pytest.approx(float(m2["kld"]), rel=1e-5)
+    assert float(m1["rec_loss"]) == pytest.approx(float(m2["rec_loss"]),
+                                                  rel=1e-5)

@@ -48,6 +48,8 @@ def run_inference_mode(cfg: Config, data: Optional[Data] = None):
             mode="inference", sample_gen=cfg.sample_gen,
             beam_size=cfg.beam_size, temperature=cfg.temperature,
             gen_name=cfg.gen_name, coco_dir=cfg.coco_dir,
+            hdf5_file=cfg.hdf5_file,            # keep coco_dir-derived
+            raw_images_file=cfg.raw_images_file,  # paths consistent
             checkpoint=cfg.checkpoint, checkpoint_dir=cfg.checkpoint_dir,
             std=cfg.std)
     except FileNotFoundError:

@@ -165,40 +165,59 @@ class Config:
 # CLI overlay with the reference's flag names (ref utils/parameters.py:68-159)
 # ----------------------------------------------------------------------
 
+# CLI flag → Config field for the reference-compatible names
+_FLAG_TO_FIELD = {
+    "lr": "learning_rate", "embed": "embed_size",
+    "enc_hid": "encoder_hidden", "dec_hid": "decoder_hidden",
+    "latent": "latent_size", "restore": "restore", "coco_dir": "coco_dir",
+    "epochs": "num_epochs", "bs": "batch_size", "no_encoder": "no_encoder",
+    "temperature": "temperature", "gen_name": "gen_name",
+    "dec_drop": "dec_keep_rate", "gen_z_samples": "gen_z_samples",
+    "ann_param": "ann_param", "dec_lstm_drop": "dec_lstm_drop",
+    "sample_gen": "sample_gen", "checkpoint": "checkpoint",
+    "optimizer": "optimizer", "c_v": "use_c_v", "std": "std",
+    "save_params": "save_params", "prior": "prior", "fine_tune": "fine_tune",
+    "mode": "mode", "beam_size": "beam_size",
+}
+
+
 def build_arg_parser() -> argparse.ArgumentParser:
-    d = Config()
+    # every option defaults to SUPPRESS: only flags the user actually
+    # typed appear in the namespace, so ``--config`` payloads are never
+    # clobbered by argparse defaults
+    S = argparse.SUPPRESS
     p = argparse.ArgumentParser(
         description="Train / run the TPU-native VAE captioning models. "
         "Flags mirror the reference CLI; every Config field can also be "
         "set via --set key=value.")
-    p.add_argument("--lr", type=float, default=d.learning_rate, dest="lr")
-    p.add_argument("--embed_dim", type=int, default=d.embed_size, dest="embed")
-    p.add_argument("--enc_hid", type=int, default=d.encoder_hidden)
-    p.add_argument("--dec_hid", type=int, default=d.decoder_hidden)
-    p.add_argument("--latent", type=int, default=d.latent_size)
-    p.add_argument("--restore", action="store_true")
-    p.add_argument("--coco_dir", default=d.coco_dir)
-    p.add_argument("--epochs", type=int, default=d.num_epochs)
-    p.add_argument("--bs", type=int, default=d.batch_size)
-    p.add_argument("--no_encoder", action="store_true")
-    p.add_argument("--temperature", type=float, default=d.temperature)
-    p.add_argument("--gen_name", default=d.gen_name)
-    p.add_argument("--dec_drop", type=float, default=d.dec_keep_rate)
-    p.add_argument("--gen_z_samples", type=int, default=d.gen_z_samples)
-    p.add_argument("--ann_param", type=float, default=d.ann_param)
-    p.add_argument("--dec_lstm_drop", type=float, default=d.dec_lstm_drop)
-    p.add_argument("--sample_gen", default=d.sample_gen, choices=SAMPLE_GENS)
-    p.add_argument("--checkpoint", default=d.checkpoint)
-    p.add_argument("--optimizer", default=d.optimizer, choices=OPTIMIZERS)
-    p.add_argument("--c_v", action="store_true",
+    p.add_argument("--lr", type=float, default=S, dest="lr")
+    p.add_argument("--embed_dim", type=int, default=S, dest="embed")
+    p.add_argument("--enc_hid", type=int, default=S)
+    p.add_argument("--dec_hid", type=int, default=S)
+    p.add_argument("--latent", type=int, default=S)
+    p.add_argument("--restore", action="store_true", default=S)
+    p.add_argument("--coco_dir", default=S)
+    p.add_argument("--epochs", type=int, default=S)
+    p.add_argument("--bs", type=int, default=S)
+    p.add_argument("--no_encoder", action="store_true", default=S)
+    p.add_argument("--temperature", type=float, default=S)
+    p.add_argument("--gen_name", default=S)
+    p.add_argument("--dec_drop", type=float, default=S)
+    p.add_argument("--gen_z_samples", type=int, default=S)
+    p.add_argument("--ann_param", type=float, default=S)
+    p.add_argument("--dec_lstm_drop", type=float, default=S)
+    p.add_argument("--sample_gen", default=S, choices=SAMPLE_GENS)
+    p.add_argument("--checkpoint", default=S)
+    p.add_argument("--optimizer", default=S, choices=OPTIMIZERS)
+    p.add_argument("--c_v", action="store_true", default=S,
                    help="use detected-object cluster vectors")
-    p.add_argument("--std", type=float, default=d.std)
-    p.add_argument("--save_params", action="store_true",
+    p.add_argument("--std", type=float, default=S)
+    p.add_argument("--save_params", action="store_true", default=S,
                    help="save resolved config JSON next to checkpoints")
-    p.add_argument("--prior", default=d.prior, choices=PRIORS)
-    p.add_argument("--fine_tune", action="store_true")
-    p.add_argument("--mode", default=d.mode, choices=MODES)
-    p.add_argument("--beam_size", type=int, default=d.beam_size)
+    p.add_argument("--prior", default=S, choices=PRIORS)
+    p.add_argument("--fine_tune", action="store_true", default=S)
+    p.add_argument("--mode", default=S, choices=MODES)
+    p.add_argument("--beam_size", type=int, default=S)
     p.add_argument("--config", default=None,
                    help="load a saved config JSON before applying flags")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
@@ -217,39 +236,24 @@ def _coerce(value: str, target: Any) -> Any:
 
 
 def parse_args(argv: Optional[list] = None) -> Config:
-    """Build a Config from CLI flags (reference-compatible names)."""
+    """Build a Config from CLI flags (reference-compatible names).
+
+    Precedence: Config defaults < --config JSON < explicit flags < --set.
+    Only flags the user actually typed override the loaded config."""
     args = build_arg_parser().parse_args(argv)
     cfg = Config.load(args.config) if args.config else Config()
-    cfg = cfg.replace(
-        learning_rate=args.lr,
-        embed_size=args.embed,
-        encoder_hidden=args.enc_hid,
-        decoder_hidden=args.dec_hid,
-        latent_size=args.latent,
-        restore=args.restore,
-        coco_dir=args.coco_dir,
-        num_epochs=args.epochs,
-        batch_size=args.bs,
-        no_encoder=args.no_encoder,
-        temperature=args.temperature,
-        gen_name=args.gen_name,
-        dec_keep_rate=args.dec_drop,
-        gen_z_samples=args.gen_z_samples,
-        ann_param=args.ann_param,
-        dec_lstm_drop=args.dec_lstm_drop,
-        sample_gen=args.sample_gen,
-        checkpoint=args.checkpoint,
-        optimizer=args.optimizer,
-        use_c_v=args.c_v,
-        std=args.std,
-        save_params=args.save_params,
-        prior=args.prior,
-        fine_tune=args.fine_tune,
-        mode=args.mode,
-        beam_size=args.beam_size,
-        hdf5_file="",  # re-derive from coco_dir
-    )
-    overrides = {}
+
+    present = vars(args)
+    overrides = {
+        _FLAG_TO_FIELD[flag]: value
+        for flag, value in present.items()
+        if flag in _FLAG_TO_FIELD
+    }
+    if "coco_dir" in overrides:
+        # re-derive the coco_dir-relative paths (ref parameters.py:161)
+        overrides.setdefault("hdf5_file", "")
+        overrides.setdefault("raw_images_file", "")
+
     defaults = Config()
     for item in args.set:
         if "=" not in item:

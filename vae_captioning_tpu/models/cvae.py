@@ -213,14 +213,19 @@ def compute_loss(
     ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
     mask = (labels != 0).astype(jnp.float32)
     rec_loss = jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    # rows that are entirely padding (mesh-padded batches, images with
+    # fewer than K captions) must not contribute to the KL mean either
+    row_mask = jnp.any(labels != 0, axis=-1)
 
     if no_encoder:
         kld = jnp.asarray(0.0, jnp.float32)
     elif prior == "AG":
         kld = dist.kl_ag(outputs["q_mean"], outputs["q_std"],
-                         outputs["c_v"], cluster_means, cluster_sigma)
+                         outputs["c_v"], cluster_means, cluster_sigma,
+                         row_mask=row_mask)
     else:  # Normal; GMM uses the same formula (ref TODO, main.py:125-135)
-        kld = dist.kl_standard_normal(outputs["q_mean"], outputs["q_std"])
+        kld = dist.kl_standard_normal(outputs["q_mean"], outputs["q_std"],
+                                      row_mask=row_mask)
 
     annealing = jnp.asarray(annealing, jnp.float32)
     lower_bound = rec_loss + annealing * kld / 10.0

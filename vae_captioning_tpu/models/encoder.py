@@ -66,7 +66,10 @@ class Encoder(nn.Module):
         if c_emb is not None and self.use_c_v:
             carry, _ = self.lstm.step(carry, c_emb)
         carry, _ = self.lstm(carry, self.embedding(captions), lengths)
-        h = carry[-1][1]  # top-layer hidden at the last valid step (ref :58)
+        # the reference reads the FIRST layer's hidden state
+        # (final_state[0][1], ref :56-58) — identical at the default one
+        # layer, and matched here for multi-layer parity
+        h = carry[0][1]
 
         if self.prior == "Normal":
             mean = self.mean_head(h)

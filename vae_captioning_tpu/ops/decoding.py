@@ -183,10 +183,15 @@ def beam_search(
 
         is_eos = token_idx == eos_id
 
-        # ---- finished pool: normalized score, merged topk (ref :283-291)
+        # ---- finished pool: normalized score, merged topk (ref :283-291).
+        # Candidates whose log-prob was floored to NEG_INF (the p<1e-12
+        # skip, or continuations of dead beams) must NOT become
+        # completions: dividing NEG_INF by the length normalizer would
+        # otherwise lift them above the has_finished threshold.
+        viable = jnp.logical_and(is_eos, top_logp > NEG_INF / 2)
         sent_len = (t + 2).astype(jnp.float32)  # BOS + t+1 emitted tokens
         norm = jnp.where(len_norm_f > 0, sent_len ** len_norm_f, 1.0)
-        eos_scores = jnp.where(is_eos, top_logp / norm, NEG_INF)  # [B, K²]
+        eos_scores = jnp.where(viable, top_logp / norm, NEG_INF)  # [B, K²]
         all_scores = jnp.concatenate([fin_scores, eos_scores], axis=1)
         all_seq = jnp.concatenate([fin_seq, cand_seq], axis=1)
         new_fin_scores, keep = jax.lax.top_k(all_scores, K)

@@ -43,19 +43,32 @@ def sample_gaussian(key: jax.Array, mean: jax.Array, std: jax.Array,
     return mean[:, None, :] + std * eps
 
 
-def kl_standard_normal(mean: jax.Array, std: jax.Array) -> jax.Array:
+def kl_standard_normal(mean: jax.Array, std: jax.Array,
+                       row_mask: jax.Array | None = None) -> jax.Array:
     """KL(q(z) || N(0, I)) — batch-mean scalar (ref main.py:120-124).
 
     Formula (Kingma & Welling):  -0.5 * mean_B sum_L (1 + log σ² − μ² − σ²).
-    The reference adds 1e-5 inside the log; reproduced.
+    The reference adds 1e-5 inside the log; reproduced.  ``row_mask``
+    excludes padding rows (mesh-padded batches) from the mean.
     """
     inner = (1.0 + jnp.log(jnp.square(std) + _EPS_LOG)
              - jnp.square(mean) - jnp.square(std))
-    return -0.5 * jnp.mean(jnp.sum(inner, axis=-1))
+    per_example = -0.5 * jnp.sum(inner, axis=-1)
+    return _masked_mean(per_example, row_mask)
+
+
+def _masked_mean(per_example: jax.Array,
+                 row_mask: jax.Array | None) -> jax.Array:
+    if row_mask is None:
+        return jnp.mean(per_example)
+    row_mask = row_mask.astype(per_example.dtype)
+    return (jnp.sum(per_example * row_mask)
+            / jnp.maximum(jnp.sum(row_mask), 1.0))
 
 
 def kl_ag(mean: jax.Array, std: jax.Array, c_v: jax.Array,
-          cluster_means: jax.Array, cluster_sigma: float = 0.1) -> jax.Array:
+          cluster_means: jax.Array, cluster_sigma: float = 0.1,
+          row_mask: jax.Array | None = None) -> jax.Array:
     """Additive-Gaussian KLD (ref main.py:136-145).
 
     Per-dim:  0.5 + log σ_q − log σ_c − ((μ_q − c_v·μ_k)² + σ_q²)/(2 σ_c²)
@@ -74,7 +87,7 @@ def kl_ag(mean: jax.Array, std: jax.Array, c_v: jax.Array,
              - (jnp.square(mean - prior_mean) + jnp.square(std))
              / (2.0 * jnp.square(sig_c) + _EPS_DIV))
     per_example = -0.5 * jnp.sum(inner, axis=-1)
-    return jnp.mean(per_example)
+    return _masked_mean(per_example, row_mask)
 
 
 def init_cluster_means(num_clusters: int, latent_size: int,

@@ -324,7 +324,9 @@ class Trainer:
             seen = 0
             t0 = time.time()
             while seen <= cfg.num_ex_per_epoch:
+                epoch_batches = 0
                 for batch in train_batcher.train_batches(cfg.num_captions):
+                    epoch_batches += 1
                     m = self.run_step(batch)
                     seen += batch.batch_size
                     step = int(self.state.step)
@@ -350,6 +352,10 @@ class Trainer:
                                        examples_per_sec=round(rate, 1))
                     if seen > cfg.num_ex_per_epoch:
                         break
+                if epoch_batches == 0:
+                    raise ValueError(
+                        "train_batches yielded nothing — dataset smaller "
+                        f"than batch_size ({cfg.batch_size})? Lower --bs.")
             if val_batcher is not None:
                 val_rec = self.validate(val_batcher)
                 print(f"Validation reconstruction loss: {val_rec}")
