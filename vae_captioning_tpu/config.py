@@ -108,6 +108,8 @@ class Config:
     mesh_axis: str = "dp"       # data-parallel mesh axis name
     profile: bool = False       # emit jax.profiler traces
     debug_nans: bool = False
+    fused_ce: bool = False      # fused linear-CE loss kernel (TPU only):
+                                # logits never materialized in HBM
 
     def __post_init__(self):
         if not self.hdf5_file:

@@ -124,9 +124,12 @@ class CVAEModel(nn.Module):
         lengths: jax.Array,        # [B*K]
         c_v: Optional[jax.Array] = None,  # [B, 90]
         deterministic: bool = True,
+        return_hidden: bool = False,
     ) -> Dict[str, jax.Array]:
         """Training/eval forward.  K = captions per image is inferred from
-        the leading dims and features are tiled on device (main.py:84-89)."""
+        the leading dims and features are tiled on device (main.py:84-89).
+        ``return_hidden`` yields out['hidden'] ([B·K, T, H], pre-logits)
+        instead of out['logits'] for the fused-CE loss path."""
         B = features.shape[0]
         K = enc_captions.shape[0] // B
         images_fv, c_emb = self._embed_conditioning(features, c_v)
@@ -147,8 +150,10 @@ class CVAEModel(nn.Module):
 
         carry = self.decoder.init_state(images_fv, c_emb, z_flat,
                                         deterministic)
-        out["logits"] = self.decoder.teacher_forcing(
-            carry, dec_captions, lengths, deterministic)
+        seq_out = self.decoder.teacher_forcing(
+            carry, dec_captions, lengths, deterministic,
+            return_hidden=return_hidden)
+        out["hidden" if return_hidden else "logits"] = seq_out
         if c_v is not None:
             out["c_v"] = c_v
         return out
@@ -200,19 +205,36 @@ def compute_loss(
     cluster_means: Optional[jax.Array] = None,
     cluster_sigma: float = 0.1,
     annealing: jax.Array | float = 1.0,
+    logits_params: Optional[Tuple[jax.Array, jax.Array]] = None,
 ) -> Dict[str, jax.Array]:
     """Masked CE + prior KL + annealing → lower bound.
 
     rec: sparse softmax CE over all positions, PAD masked via label sign,
     mean over real tokens (main.py:152-158).  total = rec + ann·kld/10 —
     the reference's fixed /10 KL weight (main.py:172-174).
+
+    When the model forward produced ``hidden`` instead of ``logits``
+    (return_hidden=True), pass the rnn_logits (kernel, bias) via
+    ``logits_params`` and the CE runs through the fused Pallas kernel —
+    [N, V] logits never reach HBM (ops/fused_ce.py).
     """
     import optax
 
-    logits = outputs["logits"]
-    ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
-    mask = (labels != 0).astype(jnp.float32)
-    rec_loss = jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    if "hidden" in outputs:
+        from vae_captioning_tpu.ops.fused_ce import fused_linear_ce
+        hidden = outputs["hidden"]
+        H = hidden.shape[-1]
+        labels_flat = labels.reshape(-1)
+        mask_flat = (labels_flat != 0).astype(jnp.float32)
+        ce_weights = mask_flat / jnp.maximum(jnp.sum(mask_flat), 1.0)
+        w, b = logits_params
+        rec_loss = fused_linear_ce(hidden.reshape(-1, H), w, b,
+                                   labels_flat, ce_weights)
+    else:
+        logits = outputs["logits"]
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        mask = (labels != 0).astype(jnp.float32)
+        rec_loss = jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
     # rows that are entirely padding (mesh-padded batches, images with
     # fewer than K captions) must not contribute to the KL mean either
     row_mask = jnp.any(labels != 0, axis=-1)

@@ -68,14 +68,19 @@ class Decoder(nn.Module):
         dec_inputs: jax.Array,   # [B, T] (<BOS> w1 ...)
         lengths: jax.Array,      # [B]
         deterministic: bool = True,
+        return_hidden: bool = False,
     ) -> jax.Array:
-        """Full-sequence logits [B, T, V] (fp32)."""
+        """Full-sequence logits [B, T, V] (fp32), or the pre-projection
+        hidden states [B, T, H] when ``return_hidden`` (input to the
+        fused linear-CE kernel, ops/fused_ce.py)."""
         x = self.embedding(dec_inputs)
         if self.dec_keep_rate < 1.0 and not deterministic:
             keep = self.dec_keep_rate
             mask = jax.random.bernoulli(self.make_rng("dropout"), keep, x.shape)
             x = jnp.where(mask, x / keep, 0.0)
         _, outputs = self.lstm(carry, x, lengths, deterministic)
+        if return_hidden:
+            return outputs
         return self.logits_head(outputs).astype(jnp.float32)
 
     # ------------------------------------------------------------------

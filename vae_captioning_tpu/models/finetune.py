@@ -49,10 +49,11 @@ class FineTuneModel(nn.Module):
     def __call__(self, images: jax.Array, enc_captions: jax.Array,
                  dec_captions: jax.Array, lengths: jax.Array,
                  c_v: Optional[jax.Array] = None,
-                 deterministic: bool = True) -> Dict[str, jax.Array]:
+                 deterministic: bool = True,
+                 return_hidden: bool = False) -> Dict[str, jax.Array]:
         features = self.vgg16(images, deterministic)
         return self.cvae(features, enc_captions, dec_captions, lengths, c_v,
-                         deterministic)
+                         deterministic, return_hidden)
 
     def decode_init(self, images: jax.Array,
                     c_v: Optional[jax.Array] = None) -> Carry:

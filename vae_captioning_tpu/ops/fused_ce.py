@@ -1,0 +1,295 @@
+"""Pallas TPU kernels: memory-efficient fused linear cross-entropy.
+
+The training loss materializes ``[B·K·T, V]`` logits forward AND backward
+(at batch 256×5 captions×24 steps × 11.5k vocab that is ~1.4 GB × 3 of
+HBM traffic per step).  This module computes
+
+    loss = Σ_i weights_i · ( logsumexp(h_i @ W + b) − (h_i @ W + b)[y_i] )
+
+and its gradients without ever writing the logits to HBM:
+
+  * forward: one kernel — vocab-tiled MXU matmul folded into an online
+    logsumexp + the label logit pick.
+  * backward: two kernels that recompute logits tiles on the fly
+    (flash-attention-style):  dh = (p − onehot)·gw @ Wᵀ  with rows outer
+    so the [BM, H] accumulator lives in VMEM, and  dW/db = hᵀ @ (p −
+    onehot)·gw  with vocab outer so the [H, BV] accumulator lives in
+    VMEM.
+
+Exact: matches the XLA reference (same bf16 matmul precision) to float
+tolerance; validated by grad-vs-autodiff tests.  Exposed behind
+``Config.fused_ce`` (opt-in) and used by the train step on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BM = 256
+_BV = 1280
+_NEG = -1e30
+
+
+def _pad_all(h, w, b, labels, weights):
+    M, H = h.shape
+    V = w.shape[1]
+    h16 = h.astype(jnp.bfloat16)
+    w16 = w.astype(jnp.bfloat16)
+    v_pad = (-V) % _BV
+    if v_pad:
+        w16 = jnp.pad(w16, ((0, 0), (0, v_pad)))
+        b = jnp.pad(b, (0, v_pad))
+    m_pad = (-M) % _BM
+    if m_pad:
+        h16 = jnp.pad(h16, ((0, m_pad), (0, 0)))
+        labels = jnp.pad(labels, (0, m_pad), constant_values=-1)
+        weights = jnp.pad(weights, (0, m_pad))
+    return (h16, w16, b.astype(jnp.float32), labels.astype(jnp.int32),
+            weights.astype(jnp.float32), M, V)
+
+
+# ----------------------------------------------------------------------
+# forward: lse + label logit
+# ----------------------------------------------------------------------
+
+def _fwd_kernel(h_ref, w_ref, b_ref, lab_ref, lse_ref, ll_ref,
+                ms_scratch, ll_scratch, *, v_real: int, bv: int):
+    j = pl.program_id(0)   # vocab tile (outer)
+    i = pl.program_id(1)   # row block (inner)
+    BM = h_ref.shape[0]
+    cols = pl.ds(i * BM, BM)
+
+    @pl.when(j == 0)
+    def _init():
+        ms_scratch[0:1, cols] = jnp.full((1, BM), _NEG)
+        ms_scratch[1:2, cols] = jnp.zeros((1, BM))
+        ll_scratch[0:1, cols] = jnp.zeros((1, BM))
+
+    tile = jax.lax.dot_general(
+        h_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b_ref[0, :][None, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1) + j * bv
+    tile = jnp.where(col < v_real, tile, _NEG)
+
+    m_old = ms_scratch[0:1, cols].T
+    s_old = ms_scratch[1:2, cols].T
+    tile_max = jnp.max(tile, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_old, tile_max)
+    s_new = (s_old * jnp.exp(m_old - m_new)
+             + jnp.sum(jnp.exp(tile - m_new), axis=-1, keepdims=True))
+    ms_scratch[0:1, cols] = m_new.T
+    ms_scratch[1:2, cols] = s_new.T
+
+    lab = lab_ref[:, 0:1]                                  # [BM, 1]
+    hit = jnp.sum(jnp.where(col == lab, tile, 0.0), axis=-1,
+                  keepdims=True)                           # [BM, 1]
+    ll_scratch[0:1, cols] = (ll_scratch[0:1, cols].T + hit).T
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _publish():
+        lse_ref[:, :] = (ms_scratch[0:1, cols]
+                         + jnp.log(ms_scratch[1:2, cols])).T
+        ll_ref[:, :] = ll_scratch[0:1, cols].T
+
+
+def _fwd_pallas(h16, w16, b, labels, Mp, Vp, V):
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, v_real=V, bv=_BV),
+        grid=(Vp // _BV, Mp // _BM),
+        in_specs=[
+            pl.BlockSpec((_BM, h16.shape[1]), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h16.shape[1], _BV), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BV), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BM, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_BM, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BM, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, Mp), jnp.float32),
+            pltpu.VMEM((1, Mp), jnp.float32),
+        ],
+    )(h16, w16, b.reshape(1, -1), labels.reshape(-1, 1))
+
+
+# ----------------------------------------------------------------------
+# backward kernels (logits recomputed per tile)
+# ----------------------------------------------------------------------
+
+def _dh_kernel(h_ref, w_ref, b_ref, lab_ref, lse_ref, gw_ref, dh_ref,
+               acc, *, v_real: int, bv: int):
+    i = pl.program_id(0)   # row block (OUTER here)
+    j = pl.program_id(1)   # vocab tile (inner)
+
+    @pl.when(j == 0)
+    def _init():
+        acc[:, :] = jnp.zeros_like(acc)
+
+    tile = jax.lax.dot_general(
+        h_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b_ref[0, :][None, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1) + j * bv
+    p = jnp.where(col < v_real, jnp.exp(tile - lse_ref[:, 0:1]), 0.0)
+    dl = (p - (col == lab_ref[:, 0:1]).astype(jnp.float32)) * gw_ref[:, 0:1]
+    # dh += dl @ W_tileᵀ : contract the vocab dim of both
+    acc[:, :] += jax.lax.dot_general(
+        dl.astype(jnp.bfloat16), w_ref[:],
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _publish():
+        dh_ref[:, :] = acc[:, :]
+
+
+def _dwdb_kernel(h_ref, w_ref, b_ref, lab_ref, lse_ref, gw_ref,
+                 dw_ref, db_ref, dw_acc, db_acc, *, v_real: int, bv: int):
+    j = pl.program_id(0)   # vocab tile (OUTER here)
+    i = pl.program_id(1)   # row block (inner)
+
+    @pl.when(i == 0)
+    def _init():
+        dw_acc[:, :] = jnp.zeros_like(dw_acc)
+        db_acc[:, :] = jnp.zeros_like(db_acc)
+
+    tile = jax.lax.dot_general(
+        h_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b_ref[0, :][None, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1) + j * bv
+    p = jnp.where(col < v_real, jnp.exp(tile - lse_ref[:, 0:1]), 0.0)
+    dl = (p - (col == lab_ref[:, 0:1]).astype(jnp.float32)) * gw_ref[:, 0:1]
+    # dW_tile += h_blockᵀ @ dl : contract the row dim of both
+    dw_acc[:, :] += jax.lax.dot_general(
+        h_ref[:], dl.astype(jnp.bfloat16),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    db_acc[:, :] += jnp.sum(dl, axis=0, keepdims=True)
+
+    @pl.when(i == pl.num_programs(1) - 1)
+    def _publish():
+        dw_ref[:, :] = dw_acc[:, :]
+        db_ref[:, :] = db_acc[:, :]
+
+
+# ----------------------------------------------------------------------
+# public op with custom VJP
+# ----------------------------------------------------------------------
+
+@jax.custom_vjp
+def fused_linear_ce(h: jax.Array, w: jax.Array, b: jax.Array,
+                    labels: jax.Array, weights: jax.Array) -> jax.Array:
+    """Σ_i weights_i · CE(softmax(h_i @ w + b), labels_i) — scalar.
+
+    Set ``weights = mask / Σmask`` for the reference's PAD-masked mean
+    CE (main.py:152-158).  labels: int32 [M]; rows with weight 0 are
+    free to carry any label."""
+    loss, _ = _fwd(h, w, b, labels, weights)
+    return loss
+
+
+def _fwd(h, w, b, labels, weights):
+    h16, w16, bf, lab, wt, M, V = _pad_all(h, w, b, labels, weights)
+    Mp, Vp = h16.shape[0], w16.shape[1]
+    lse, ll = _fwd_pallas(h16, w16, bf, lab, Mp, Vp, V)
+    loss = jnp.sum(wt[:M] * (lse[:M, 0] - ll[:M, 0]))
+    return loss, (h, w, b, labels, weights, lse)
+
+
+def _bwd(res, g):
+    h, w, b, labels, weights, lse = res
+    h16, w16, bf, lab, wt, M, V = _pad_all(h, w, b, labels, weights)
+    Mp, Vp = h16.shape[0], w16.shape[1]
+    H = h16.shape[1]
+    gw = (g * wt).reshape(-1, 1)
+
+    dh = pl.pallas_call(
+        functools.partial(_dh_kernel, v_real=V, bv=_BV),
+        grid=(Mp // _BM, Vp // _BV),          # rows OUTER
+        in_specs=[
+            pl.BlockSpec((_BM, H), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, _BV), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BV), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BM, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BM, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BM, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_BM, H), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, H), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((_BM, H), jnp.float32)],
+    )(h16, w16, bf.reshape(1, -1), lab.reshape(-1, 1), lse, gw)
+
+    dw, db = pl.pallas_call(
+        functools.partial(_dwdb_kernel, v_real=V, bv=_BV),
+        grid=(Vp // _BV, Mp // _BM),          # vocab OUTER
+        in_specs=[
+            pl.BlockSpec((_BM, H), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, _BV), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BV), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BM, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BM, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BM, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((H, _BV), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BV), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((H, Vp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Vp), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((H, _BV), jnp.float32),
+            pltpu.VMEM((1, _BV), jnp.float32),
+        ],
+    )(h16, w16, bf.reshape(1, -1), lab.reshape(-1, 1), lse, gw)
+
+    return (dh[:h.shape[0]].astype(h.dtype),
+            dw[:, :V].astype(w.dtype),
+            db[0, :V].astype(b.dtype),
+            None, None)
+
+
+fused_linear_ce.defvjp(_fwd, _bwd)
+
+
+# ----------------------------------------------------------------------
+def fused_linear_ce_xla(h, w, b, labels, weights):
+    """Reference implementation (CPU path / tests), same bf16 matmul."""
+    logits = jax.lax.dot_general(
+        h.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b.astype(jnp.float32)[None, :]
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    ll = jnp.take_along_axis(logits, labels[:, None].astype(jnp.int32),
+                             axis=-1)[:, 0]
+    return jnp.sum(weights * (lse - ll))

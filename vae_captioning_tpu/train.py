@@ -192,6 +192,12 @@ def make_train_step(model: CVAEModel, tx: optax.GradientTransformation,
     cluster_means = jnp.asarray(dist.init_cluster_means(
         cfg.num_clusters, cfg.latent_size, cfg.seed))
     needs_cv = cfg.needs_cluster_vectors
+    use_fused_ce = cfg.fused_ce and jax.default_backend() == "tpu"
+
+    def _logits_head(params):
+        sub = params["cvae"] if "cvae" in params else params
+        head = sub["decoder"]["rnn_logits"]
+        return head["kernel"], head["bias"]
 
     def step_fn(state: TrainState, features, enc, dec, lengths, c_v, rng):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -203,11 +209,13 @@ def make_train_step(model: CVAEModel, tx: optax.GradientTransformation,
         def loss_fn(params):
             out = model.apply({"params": params}, features, enc, dec,
                               lengths, c_v if needs_cv else None,
-                              deterministic=False, rngs=rngs)
-            losses = compute_loss(out, enc, prior=cfg.prior,
-                                  no_encoder=cfg.no_encoder,
-                                  cluster_means=cluster_means,
-                                  annealing=annealing)
+                              deterministic=False, rngs=rngs,
+                              return_hidden=use_fused_ce)
+            losses = compute_loss(
+                out, enc, prior=cfg.prior, no_encoder=cfg.no_encoder,
+                cluster_means=cluster_means, annealing=annealing,
+                logits_params=_logits_head(params) if use_fused_ce
+                else None)
             return losses["loss"], losses
 
         grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
