@@ -57,20 +57,24 @@ def main() -> None:
     # warmup / compile.  NOTE: on the axon relay, block_until_ready alone
     # does not force remote execution — a host transfer does, so timing
     # fetches the token array each iteration (61 KB, negligible).
-    tokens, scores = beam_fn(params, features, c_v, key)
-    np.asarray(tokens)
+    for i in range(2):
+        tokens, scores = beam_fn(params, features, c_v,
+                                 jax.random.fold_in(key, 100 + i))
+        np.asarray(tokens)
 
-    n_iters = 5
-    t0 = time.perf_counter()
-    for i in range(n_iters):
+    # median per-iteration time: robust to transient relay/queue
+    # contention (observed run-to-run swings on the shared tunnel)
+    times = []
+    for i in range(9):
+        t0 = time.perf_counter()
         tokens, scores = beam_fn(params, features, c_v,
                                  jax.random.fold_in(key, i))
         np.asarray(tokens)
-    dt = time.perf_counter() - t0
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
 
     n_chips = len(jax.devices())
-    captions_per_sec = BATCH * n_iters / dt
-    per_chip = captions_per_sec / n_chips
+    per_chip = BATCH / dt / n_chips
     print(json.dumps({
         "metric": "captions_per_sec_per_chip_beam3",
         "value": round(per_chip, 2),
