@@ -305,3 +305,21 @@ def test_category_index(mini_coco, tmp_path):
     p.write_text(json.dumps(inst))
     idx = cv_lib.category_index(str(p))
     assert idx == {1: "person", 18: "dog"}
+
+
+def test_tokenizer_unicode_and_clipping():
+    # unicode word chars survive \W+ (python3 re is unicode-aware)
+    assert "café" in tokenize_caption("A café near the river")
+    # real caption clipping (the reference's clip is dead code,
+    # utils/captions.py:32-34 — ours clips for real)
+    import json
+    long_cap = " ".join(["word"] * 50)
+    j = {"images": [{"id": 1, "file_name": "a.jpg"}],
+         "annotations": [{"id": 1, "image_id": 1, "caption": long_cap}]}
+    import tempfile, os
+    path = tempfile.mktemp(suffix=".json")
+    with open(path, "w") as f:
+        json.dump(j, f)
+    caps = CocoCaptions(path, max_length=10)
+    os.remove(path)
+    assert len(caps.captions["a.jpg"][0]) == 10

@@ -110,6 +110,8 @@ class Config:
     debug_nans: bool = False
     fused_ce: bool = False      # fused linear-CE loss kernel (TPU only):
                                 # logits never materialized in HBM
+    fused_decode: bool = True   # Pallas decode kernels on TPU (kill
+                                # switch for debugging: False = pure XLA)
 
     def __post_init__(self):
         if not self.hdf5_file:

@@ -35,7 +35,9 @@ def make_decode_fns(model, cfg: Config, vocab: Vocabulary):
     bos, eos = vocab.bos_id, vocab.eos_id
     needs_cv = cfg.needs_cluster_vectors
     cls = type(model)
-    fused = jax.default_backend() == "tpu"  # compiled Pallas path only
+    # compiled Pallas path only; cfg.fused_decode=False is the pure-XLA
+    # kill switch (results are identical either way — tested)
+    fused = cfg.fused_decode and jax.default_backend() == "tpu"
 
     def _logits_head(params):
         sub = params["cvae"] if "cvae" in params else params

@@ -368,6 +368,12 @@ class Trainer:
                 val_rec = self.validate(val_batcher)
                 print(f"Validation reconstruction loss: {val_rec}")
                 metrics["val_rec_loss"] = val_rec
+            if logger is not None:  # epoch-end record (short runs never
+                # reach the per-500-step cadence)
+                logger.log(int(self.state.step),
+                           {k: float(np.mean(v)) for k, v in m.items()},
+                           epoch=epoch, **({"val_rec_loss": val_rec}
+                                           if val_batcher is not None else {}))
             if checkpointer is not None:
                 checkpointer.save(self.state)
         if logger is not None:
