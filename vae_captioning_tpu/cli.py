@@ -84,6 +84,9 @@ def main(argv=None) -> None:
     if platform:
         jax.config.update("jax_platforms", platform)
     cfg = parse_args(argv)
+    if cfg.multihost:
+        from vae_captioning_tpu.parallel.mesh import initialize_multihost
+        initialize_multihost()
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
     if cfg.save_params:

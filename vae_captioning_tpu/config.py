@@ -112,6 +112,9 @@ class Config:
                                 # logits never materialized in HBM
     fused_decode: bool = True   # Pallas decode kernels on TPU (kill
                                 # switch for debugging: False = pure XLA)
+    multihost: bool = False     # jax.distributed.initialize() at startup
+                                # (multi-host DCN training; mesh spans all
+                                # processes' devices)
 
     def __post_init__(self):
         if not self.hdf5_file:

@@ -38,9 +38,25 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(tree: Any, mesh: Mesh, axis_name: str = "dp") -> Any:
-    """Device_put every leaf with its batch dim sharded over the mesh."""
+    """Device_put every leaf with its batch dim sharded over the mesh.
+
+    Multi-host (``jax.process_count() > 1``): each process passes its
+    OWN slice of the global batch (global_batch / process_count rows)
+    and the leaves are assembled into global arrays via
+    ``make_array_from_process_local_data`` — the standard JAX multi-host
+    input path (SURVEY §5: DCN handled by the same code path)."""
     sharding = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            tree)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def initialize_multihost() -> None:
+    """Join the jax.distributed cluster (multi-host training).  Reads the
+    standard coordinator env vars; call once at process start."""
+    jax.distributed.initialize()
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
