@@ -268,6 +268,9 @@ class Trainer:
         self.train_step = make_train_step(self.model, self.tx, cfg)
         self.eval_step = make_eval_step(self.model, cfg)
         self._rng = jax.random.PRNGKey(cfg.seed + 1)
+        # host-side mirror of state.step: reading the device scalar every
+        # iteration would force a sync and serialize the async pipeline
+        self.host_step = 0
 
     # --------------------------------------------------------------
     def restore_from(self, checkpointer) -> None:
@@ -275,6 +278,7 @@ class Trainer:
         (checkpoint sharding metadata may not match this run's mesh)."""
         restored = checkpointer.restore(self.state)
         self.state = mesh_lib.replicate(restored, self.mesh)
+        self.host_step = int(restored.step)
 
     # --------------------------------------------------------------
     def _device_batch(self, batch: Batch):
@@ -305,6 +309,7 @@ class Trainer:
         features, enc, dec, lengths, c_v = self._device_batch(batch)
         self.state, metrics = self.train_step(
             self.state, features, enc, dec, lengths, c_v, self._rng)
+        self.host_step += 1
         return metrics
 
     def validate(self, batcher) -> float:
@@ -337,7 +342,7 @@ class Trainer:
                     epoch_batches += 1
                     m = self.run_step(batch)
                     seen += batch.batch_size
-                    step = int(self.state.step)
+                    step = self.host_step
                     if cfg.profile:  # steps 10-20 → Perfetto trace
                         if step == 10 and not profiling:
                             jax.profiler.start_trace(cfg.log_dir)
@@ -370,7 +375,7 @@ class Trainer:
                 metrics["val_rec_loss"] = val_rec
             if logger is not None:  # epoch-end record (short runs never
                 # reach the per-500-step cadence)
-                logger.log(int(self.state.step),
+                logger.log(self.host_step,
                            {k: float(np.mean(v)) for k, v in m.items()},
                            epoch=epoch, **({"val_rec_loss": val_rec}
                                            if val_batcher is not None else {}))
