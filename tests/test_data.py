@@ -307,7 +307,7 @@ def test_category_index(mini_coco, tmp_path):
     assert idx == {1: "person", 18: "dog"}
 
 
-def test_tokenizer_unicode_and_clipping():
+def test_tokenizer_unicode_and_clipping(tmp_path):
     # unicode word chars survive \W+ (python3 re is unicode-aware)
     assert "café" in tokenize_caption("A café near the river")
     # real caption clipping (the reference's clip is dead code,
@@ -316,10 +316,7 @@ def test_tokenizer_unicode_and_clipping():
     long_cap = " ".join(["word"] * 50)
     j = {"images": [{"id": 1, "file_name": "a.jpg"}],
          "annotations": [{"id": 1, "image_id": 1, "caption": long_cap}]}
-    import tempfile, os
-    path = tempfile.mktemp(suffix=".json")
-    with open(path, "w") as f:
-        json.dump(j, f)
-    caps = CocoCaptions(path, max_length=10)
-    os.remove(path)
+    path = tmp_path / "caps.json"
+    path.write_text(json.dumps(j))
+    caps = CocoCaptions(str(path), max_length=10)
     assert len(caps.captions["a.jpg"][0]) == 10

@@ -59,6 +59,17 @@ def test_masked_rows_get_zero_grad(interpreted):
     assert np.abs(np.asarray(dh[5:])).max() > 0
 
 
+def test_weights_cotangent_matches_autodiff(interpreted):
+    """Regression (review finding): d loss / d weights must be the true
+    per-row CE (lse − label_logit), not silent zeros."""
+    args = _problem(seed=3)
+    dw1 = jax.grad(fc.fused_linear_ce, argnums=4)(*args)
+    dw2 = jax.grad(fc.fused_linear_ce_xla, argnums=4)(*args)
+    assert np.abs(np.asarray(dw1)).max() > 0
+    np.testing.assert_allclose(np.asarray(dw1), np.asarray(dw2),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_train_step_fused_flag_matches_plain():
     """On CPU the flag is inert (TPU-only gate); the step must still run
     and produce the same loss as the plain path."""
@@ -79,4 +90,6 @@ def test_train_step_fused_flag_matches_plain():
     cfg2 = small_config(prior="Normal")
     step2 = make_train_step(model, tx, cfg2, donate=False)
     _, m2 = step2(TrainState.create(params, tx), *args, jax.random.PRNGKey(1))
-    assert float(m["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-6)
+    # 1e-4: on a TPU runner the flag is ACTIVE and fused-vs-plain agree
+    # to ~1e-5 (bf16 matmul); on CPU the paths are bit-identical
+    assert float(m["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-4)

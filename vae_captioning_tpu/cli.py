@@ -51,6 +51,7 @@ def run_inference_mode(cfg: Config, data: Optional[Data] = None):
             hdf5_file=cfg.hdf5_file,            # keep coco_dir-derived
             raw_images_file=cfg.raw_images_file,  # paths consistent
             checkpoint=cfg.checkpoint, checkpoint_dir=cfg.checkpoint_dir,
+            fused_decode=cfg.fused_decode,        # kill switch must win
             std=cfg.std)
     except FileNotFoundError:
         model_cfg, vocab = cfg, None

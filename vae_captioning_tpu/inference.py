@@ -23,7 +23,7 @@ import numpy as np
 
 from vae_captioning_tpu.config import Config
 from vae_captioning_tpu.data.vocabulary import Vocabulary
-from vae_captioning_tpu.models.cvae import CVAEModel
+from vae_captioning_tpu.models.cvae import CVAEModel, logits_head_params
 from vae_captioning_tpu.ops.decoding import (
     beam_search, sample_decode, tokens_to_text)
 
@@ -38,11 +38,6 @@ def make_decode_fns(model, cfg: Config, vocab: Vocabulary):
     # compiled Pallas path only; cfg.fused_decode=False is the pure-XLA
     # kill switch (results are identical either way — tested)
     fused = cfg.fused_decode and jax.default_backend() == "tpu"
-
-    def _logits_head(params):
-        sub = params["cvae"] if "cvae" in params else params
-        head = sub["decoder"]["rnn_logits"]
-        return head["kernel"], head["bias"]
 
     def _init_and_step(params, features, c_v, rng):
         c_v = c_v if needs_cv else None
@@ -59,7 +54,7 @@ def make_decode_fns(model, cfg: Config, vocab: Vocabulary):
         """Fused decode step: LSTM → one Pallas kernel for
         logits+top-K+logsumexp (no [N, V] logits in HBM)."""
         from vae_captioning_tpu.ops.fused_logits_topk import fused_logits_top_k
-        w, b = _logits_head(params)
+        w, b = logits_head_params(params)
 
         def fn(carry, tokens):
             carry, h = model.apply({"params": params}, carry, tokens,
@@ -76,6 +71,7 @@ def make_decode_fns(model, cfg: Config, vocab: Vocabulary):
             step_fn, carry, features.shape[0],
             beam_size=cfg.beam_size, bos_id=bos, eos_id=eos,
             max_len=cfg.gen_max_len, len_norm_f=cfg.len_norm_f,
+            use_pallas=None if fused else cfg.fused_decode,
             step_topk_fn=_step_topk_fn(params, cfg.beam_size) if fused
             else None)
         return result.tokens[:, 0], result.scores[:, 0]
@@ -88,6 +84,7 @@ def make_decode_fns(model, cfg: Config, vocab: Vocabulary):
             step_fn, carry, features.shape[0],
             beam_size=cfg.beam_size, bos_id=bos, eos_id=eos,
             max_len=cfg.gen_max_len, len_norm_f=cfg.len_norm_f,
+            use_pallas=None if fused else cfg.fused_decode,
             step_topk_fn=_step_topk_fn(params, cfg.beam_size) if fused
             else None)
         return result.tokens, result.scores
@@ -95,7 +92,7 @@ def make_decode_fns(model, cfg: Config, vocab: Vocabulary):
     def _step_argmax_fn(params):
         """Greedy fast path: argmax = fused top-1, logits never in HBM."""
         from vae_captioning_tpu.ops.fused_logits_topk import fused_logits_top_k
-        w, b = _logits_head(params)
+        w, b = logits_head_params(params)
 
         def fn(carry, tokens):
             carry, h = model.apply({"params": params}, carry, tokens,
@@ -117,7 +114,7 @@ def make_decode_fns(model, cfg: Config, vocab: Vocabulary):
         """Temperature sampling fast path: Gumbel-max fused with the
         logits matmul (one categorical draw per row, no [N, V] in HBM)."""
         from vae_captioning_tpu.ops.fused_logits_topk import fused_logits_sample
-        w, b = _logits_head(params)
+        w, b = logits_head_params(params)
 
         def fn(carry, tokens, step_rng):
             carry, h = model.apply({"params": params}, carry, tokens,

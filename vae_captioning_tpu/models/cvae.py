@@ -192,6 +192,15 @@ class CVAEModel(nn.Module):
         return self.decoder.step_hidden(carry, tokens)
 
 
+def logits_head_params(params) -> Tuple[jax.Array, jax.Array]:
+    """(kernel, bias) of the decoder's rnn_logits head, for the fused
+    kernels — single source of truth for the params-tree layout
+    (CVAEModel: params['decoder'], FineTuneModel: params['cvae'][...])."""
+    sub = params["cvae"] if "cvae" in params else params
+    head = sub["decoder"]["rnn_logits"]
+    return head["kernel"], head["bias"]
+
+
 # ----------------------------------------------------------------------
 # loss assembly (ref main.py:118-177)
 # ----------------------------------------------------------------------

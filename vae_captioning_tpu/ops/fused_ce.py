@@ -207,11 +207,11 @@ def _fwd(h, w, b, labels, weights):
     Mp, Vp = h16.shape[0], w16.shape[1]
     lse, ll = _fwd_pallas(h16, w16, bf, lab, Mp, Vp, V)
     loss = jnp.sum(wt[:M] * (lse[:M, 0] - ll[:M, 0]))
-    return loss, (h, w, b, labels, weights, lse)
+    return loss, (h, w, b, labels, weights, lse, ll)
 
 
 def _bwd(res, g):
-    h, w, b, labels, weights, lse = res
+    h, w, b, labels, weights, lse, ll = res
     h16, w16, bf, lab, wt, M, V = _pad_all(h, w, b, labels, weights)
     Mp, Vp = h16.shape[0], w16.shape[1]
     H = h16.shape[1]
@@ -273,10 +273,13 @@ def _bwd(res, g):
         ],
     )(h16, w16, bf.reshape(1, -1), lab.reshape(-1, 1), lse, gw)
 
-    return (dh[:h.shape[0]].astype(h.dtype),
+    M_real = h.shape[0]
+    # loss is linear in weights: d loss / d weights_i = g · (lse_i − ll_i)
+    dweights = (g * (lse[:M_real, 0] - ll[:M_real, 0])).astype(weights.dtype)
+    return (dh[:M_real].astype(h.dtype),
             dw[:, :V].astype(w.dtype),
             db[0, :V].astype(b.dtype),
-            None, None)
+            None, dweights)
 
 
 fused_linear_ce.defvjp(_fwd, _bwd)

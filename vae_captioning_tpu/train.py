@@ -35,7 +35,8 @@ import optax
 
 from vae_captioning_tpu.config import Config
 from vae_captioning_tpu.data.batcher import Batch
-from vae_captioning_tpu.models.cvae import CVAEModel, compute_loss
+from vae_captioning_tpu.models.cvae import (CVAEModel, compute_loss,
+                                            logits_head_params)
 from vae_captioning_tpu.ops import distributions as dist
 from vae_captioning_tpu.parallel import mesh as mesh_lib
 
@@ -194,11 +195,6 @@ def make_train_step(model: CVAEModel, tx: optax.GradientTransformation,
     needs_cv = cfg.needs_cluster_vectors
     use_fused_ce = cfg.fused_ce and jax.default_backend() == "tpu"
 
-    def _logits_head(params):
-        sub = params["cvae"] if "cvae" in params else params
-        head = sub["decoder"]["rnn_logits"]
-        return head["kernel"], head["bias"]
-
     def step_fn(state: TrainState, features, enc, dec, lengths, c_v, rng):
         step_rng = jax.random.fold_in(rng, state.step)
         rngs = {"z": jax.random.fold_in(step_rng, 0),
@@ -214,7 +210,7 @@ def make_train_step(model: CVAEModel, tx: optax.GradientTransformation,
             losses = compute_loss(
                 out, enc, prior=cfg.prior, no_encoder=cfg.no_encoder,
                 cluster_means=cluster_means, annealing=annealing,
-                logits_params=_logits_head(params) if use_fused_ce
+                logits_params=logits_head_params(params) if use_fused_ce
                 else None)
             return losses["loss"], losses
 
@@ -234,15 +230,19 @@ def make_eval_step(model: CVAEModel, cfg: Config):
     cluster_means = jnp.asarray(dist.init_cluster_means(
         cfg.num_clusters, cfg.latent_size, cfg.seed))
     needs_cv = cfg.needs_cluster_vectors
+    use_fused_ce = cfg.fused_ce and jax.default_backend() == "tpu"
 
     def eval_fn(params, features, enc, dec, lengths, c_v, rng):
         rngs = {"z": rng, "sample": jax.random.fold_in(rng, 1)}
         out = model.apply({"params": params}, features, enc, dec, lengths,
                           c_v if needs_cv else None,
-                          deterministic=True, rngs=rngs)
+                          deterministic=True, rngs=rngs,
+                          return_hidden=use_fused_ce)
         losses = compute_loss(out, enc, prior=cfg.prior,
                               no_encoder=cfg.no_encoder,
-                              cluster_means=cluster_means, annealing=1.0)
+                              cluster_means=cluster_means, annealing=1.0,
+                              logits_params=logits_head_params(params)
+                              if use_fused_ce else None)
         return losses["rec_loss"]
 
     return jax.jit(eval_fn)
@@ -303,6 +303,18 @@ class Trainer:
         arrays = (pad_to(features, Bp), pad_to(enc, Bp * K),
                   pad_to(dec, Bp * K), pad_to(lengths, Bp * K),
                   pad_to(c_v, Bp))
+        if jax.process_count() > 1:
+            # every process builds the SAME (seed-deterministic) global
+            # batch; each contributes only its own contiguous row range —
+            # otherwise make_array_from_process_local_data would assemble
+            # P duplicated copies and multi-host training would silently
+            # degenerate to single-host gradients
+            P, pid = jax.process_count(), jax.process_index()
+            rows_b = Bp // P
+            sl = lambda x, r: x[pid * r:(pid + 1) * r]
+            arrays = (sl(arrays[0], rows_b), sl(arrays[1], rows_b * K),
+                      sl(arrays[2], rows_b * K), sl(arrays[3], rows_b * K),
+                      sl(arrays[4], rows_b))
         return mesh_lib.shard_batch(arrays, self.mesh, self.cfg.mesh_axis)
 
     def run_step(self, batch: Batch) -> Dict[str, float]:
