@@ -71,7 +71,7 @@ def make_decode_fns(model, cfg: Config, vocab: Vocabulary):
             step_fn, carry, features.shape[0],
             beam_size=cfg.beam_size, bos_id=bos, eos_id=eos,
             max_len=cfg.gen_max_len, len_norm_f=cfg.len_norm_f,
-            use_pallas=None if fused else cfg.fused_decode,
+            use_pallas=None if fused else False,
             step_topk_fn=_step_topk_fn(params, cfg.beam_size) if fused
             else None)
         return result.tokens[:, 0], result.scores[:, 0]
@@ -84,7 +84,7 @@ def make_decode_fns(model, cfg: Config, vocab: Vocabulary):
             step_fn, carry, features.shape[0],
             beam_size=cfg.beam_size, bos_id=bos, eos_id=eos,
             max_len=cfg.gen_max_len, len_norm_f=cfg.len_norm_f,
-            use_pallas=None if fused else cfg.fused_decode,
+            use_pallas=None if fused else False,
             step_topk_fn=_step_topk_fn(params, cfg.beam_size) if fused
             else None)
         return result.tokens, result.scores
