@@ -29,6 +29,112 @@ def test_pad_to_multiple():
     assert same.shape == (8, 3)
 
 
+def _fake_flat_batch(B, K, T=6, F=16, seed=0):
+    """Flattened train batch with row-identifiable contents: feature row i
+    is filled with value i; caption row j (= image i, caption k) with
+    100*i + k — so any image↔caption mispairing is detectable."""
+    feats = np.stack([np.full((F,), i, np.float32) for i in range(B)])
+    enc = np.stack([np.full((T,), 100 * (j // K) + j % K, np.int32)
+                    for j in range(B * K)])
+    dec = enc + 1
+    lengths = np.arange(B * K, dtype=np.int32) + 1
+    c_v = np.stack([np.full((90,), i, np.float32) for i in range(B)])
+    return (feats, enc, dec, lengths, c_v)
+
+
+@pytest.mark.parametrize("P", [2, 4, 8])
+@pytest.mark.parametrize("B,K", [(16, 1), (16, 5), (13, 5)])
+def test_prepare_process_batch_slices_reconstruct_global(P, B, K):
+    """Concatenating every process's slice must reproduce the padded
+    global batch exactly, with caption rows aligned to their image."""
+    n_devices = 8 * P  # mesh spans all processes' local devices
+    global_arrays = _fake_flat_batch(B, K)
+    # the padded single-process view is the ground truth
+    padded = mesh_lib.prepare_process_batch(global_arrays, K, n_devices,
+                                            P=1, pid=0)
+    Bp = padded[0].shape[0]
+    assert Bp % n_devices == 0 and Bp % P == 0
+    assert padded[1].shape[0] == Bp * K
+
+    slices = [mesh_lib.prepare_process_batch(global_arrays, K, n_devices,
+                                             P=P, pid=pid)
+              for pid in range(P)]
+    for arr_i in range(5):
+        rebuilt = np.concatenate([s[arr_i] for s in slices])
+        np.testing.assert_array_equal(rebuilt, padded[arr_i])
+    # per-process alignment: caption row j of a slice belongs to image
+    # row j // K of the SAME slice (feature fill value == enc // 100)
+    for s in slices:
+        feats_s, enc_s = s[0], s[1]
+        for j in range(enc_s.shape[0]):
+            img_val = feats_s[j // K, 0]
+            cap_img = enc_s[j, 0] // 100
+            if enc_s[j, 0] != 0:  # skip zero padding rows
+                assert cap_img == img_val, (j, cap_img, img_val)
+
+
+def test_prepare_process_batch_guards():
+    arrays = _fake_flat_batch(8, 2)
+    with pytest.raises(ValueError, match="not divisible by process"):
+        mesh_lib.prepare_process_batch(arrays, 2, n_devices=8, P=3, pid=0)
+    with pytest.raises(ValueError, match="out of range"):
+        mesh_lib.prepare_process_batch(arrays, 2, n_devices=8, P=2, pid=2)
+    with pytest.raises(ValueError, match="caption rows"):
+        mesh_lib.prepare_process_batch(arrays, 4, n_devices=8, P=1, pid=0)
+
+
+def test_multistep_sharded_trajectory_matches_single_device():
+    """≥5 train steps on the 8-device dp mesh must track the unsharded
+    param trajectory (loss each step + final params)."""
+    from vae_captioning_tpu.config import Config
+    from vae_captioning_tpu.train import (TrainState, init_model,
+                                          make_optimizer, make_train_step)
+
+    # SGD, not Adam: Adam's sqrt(v) normalization turns float32
+    # reduction-order noise on near-zero grads into ±lr sign flips,
+    # which would make param comparison meaningless
+    cfg = Config(embed_size=16, latent_size=8, encoder_hidden=16,
+                 decoder_hidden=16, gen_z_samples=4, batch_size=8,
+                 prior="Normal", learning_rate=0.05, optimizer="SGD")
+    cfg.vocab_size = 40
+    model, params = init_model(cfg, jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg)
+    step = make_train_step(model, tx, cfg, donate=False)
+
+    rng_np = np.random.default_rng(3)
+    batches = []
+    for _ in range(6):
+        B, T = 8, 6
+        dec = rng_np.integers(1, 40, size=(B, T)).astype(np.int32)
+        enc = np.concatenate([dec[:, 1:], np.zeros((B, 1), np.int32)], -1)
+        lengths = np.full((B,), T - 1, np.int32)
+        c_v = rng_np.random((B, 90)).astype(np.float32)
+        batches.append((rng_np.normal(size=(B, 4096)).astype(np.float32),
+                        enc, dec, lengths, c_v / c_v.sum(-1, keepdims=True)))
+
+    rng = jax.random.PRNGKey(7)
+    s1 = TrainState.create(params, tx)
+    losses1 = []
+    for b in batches:
+        s1, m = step(s1, *[jnp.asarray(x) for x in b], rng)
+        losses1.append(float(m["loss"]))
+
+    mesh = mesh_lib.create_mesh()
+    s2 = TrainState.create(mesh_lib.replicate(params, mesh), tx)
+    losses2 = []
+    for b in batches:
+        sb = mesh_lib.shard_batch(tuple(b), mesh)
+        s2, m = step(s2, *sb, rng)
+        losses2.append(float(m["loss"]))
+
+    # float32 psum reduction order differs from the single-device sum, so
+    # trajectories drift slightly; they must stay locked to ~1e-3
+    np.testing.assert_allclose(losses1, losses2, rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-4)
+
+
 def test_sharded_beam_decode_matches_unsharded():
     """Decode with the batch sharded over the dp mesh must equal the
     single-device result (decode is embarrassingly parallel, SURVEY §5)."""

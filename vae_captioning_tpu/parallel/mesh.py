@@ -64,6 +64,58 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
 
 
+def prepare_process_batch(arrays: Sequence[np.ndarray], K: int,
+                          n_devices: int, P: int = 1, pid: int = 0):
+    """Pure multi-host batch prep: pad, then slice this process's rows.
+
+    ``arrays`` is the flattened train batch
+    ``(features[B], enc[B*K], dec[B*K], lengths[B*K], c_v[B])``.
+    The image dim ``B`` is padded up to a multiple of ``n_devices`` (the
+    GLOBAL device count) and the caption arrays to ``B' * K`` — padding
+    the two leading dims independently would break the model's
+    K = rows(captions)/rows(features) inference and silently mispair
+    images with captions.  With ``P`` processes, each contributes only
+    its contiguous ``B'/P`` image rows (and the matching caption rows);
+    every process must have built the SAME seed-deterministic global
+    batch, otherwise ``make_array_from_process_local_data`` would
+    assemble P duplicated copies and multi-host training would silently
+    degenerate to single-host gradients.
+
+    Raises if the mesh does not split evenly over processes — the only
+    configuration where ``B' // P`` would drop rows.
+    """
+    features, enc, dec, lengths, c_v = arrays
+    B = int(features.shape[0])
+    if enc.shape[0] != B * K or dec.shape[0] != B * K \
+            or lengths.shape[0] != B * K:
+        raise ValueError(
+            f"caption rows {enc.shape[0]} != B*K = {B}*{K}")
+    if n_devices % P != 0:
+        raise ValueError(
+            f"global device count {n_devices} not divisible by process "
+            f"count {P}; the dp mesh must span all processes evenly")
+    if not (0 <= pid < P):
+        raise ValueError(f"process_index {pid} out of range for P={P}")
+    Bp = -(-B // n_devices) * n_devices  # n_devices | Bp and P | Bp
+
+    def pad_to(x, rows):
+        x = np.asarray(x)
+        if x.shape[0] == rows:
+            return x
+        block = np.zeros((rows - x.shape[0], *x.shape[1:]), x.dtype)
+        return np.concatenate([x, block])
+
+    out = (pad_to(features, Bp), pad_to(enc, Bp * K), pad_to(dec, Bp * K),
+           pad_to(lengths, Bp * K), pad_to(c_v, Bp))
+    if P > 1:
+        rows_b = Bp // P
+        sl = lambda x, r: x[pid * r:(pid + 1) * r]
+        out = (sl(out[0], rows_b), sl(out[1], rows_b * K),
+               sl(out[2], rows_b * K), sl(out[3], rows_b * K),
+               sl(out[4], rows_b))
+    return out
+
+
 def pad_to_multiple(batch_leaf: np.ndarray, multiple: int) -> np.ndarray:
     """Pad the leading dim up to a multiple of the mesh size so every
     shard has equal extent (XLA requires even sharding)."""

@@ -282,39 +282,16 @@ class Trainer:
 
     # --------------------------------------------------------------
     def _device_batch(self, batch: Batch):
-        """Shard a host batch, padding the image dim B up to a mesh
-        multiple.  B and B·K MUST be padded consistently (B → B', caption
-        arrays → B'·K): padding each leading dim independently would break
-        the model's K = rows(captions)/rows(features) inference and
-        silently mispair images with captions."""
-        features, enc, dec, lengths, c_v = _flatten_batch(batch)
-        n = len(self.mesh.devices.ravel())
-        B = features.shape[0]
-        K = enc.shape[0] // B
-        Bp = -(-B // n) * n
-
-        def pad_to(x, rows):
-            x = np.asarray(x)
-            if x.shape[0] == rows:
-                return x
-            block = np.zeros((rows - x.shape[0], *x.shape[1:]), x.dtype)
-            return np.concatenate([x, block])
-
-        arrays = (pad_to(features, Bp), pad_to(enc, Bp * K),
-                  pad_to(dec, Bp * K), pad_to(lengths, Bp * K),
-                  pad_to(c_v, Bp))
-        if jax.process_count() > 1:
-            # every process builds the SAME (seed-deterministic) global
-            # batch; each contributes only its own contiguous row range —
-            # otherwise make_array_from_process_local_data would assemble
-            # P duplicated copies and multi-host training would silently
-            # degenerate to single-host gradients
-            P, pid = jax.process_count(), jax.process_index()
-            rows_b = Bp // P
-            sl = lambda x, r: x[pid * r:(pid + 1) * r]
-            arrays = (sl(arrays[0], rows_b), sl(arrays[1], rows_b * K),
-                      sl(arrays[2], rows_b * K), sl(arrays[3], rows_b * K),
-                      sl(arrays[4], rows_b))
+        """Shard a host batch: pad the image dim B to a mesh multiple and
+        (multi-host) slice this process's rows — all via the pure
+        ``mesh_lib.prepare_process_batch`` (unit-tested for row/caption
+        alignment across fake process grids)."""
+        arrays = _flatten_batch(batch)
+        B = arrays[0].shape[0]
+        K = arrays[1].shape[0] // B
+        arrays = mesh_lib.prepare_process_batch(
+            arrays, K, n_devices=len(self.mesh.devices.ravel()),
+            P=jax.process_count(), pid=jax.process_index())
         return mesh_lib.shard_batch(arrays, self.mesh, self.cfg.mesh_axis)
 
     def run_step(self, batch: Batch) -> Dict[str, float]:
