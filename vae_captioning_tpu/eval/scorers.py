@@ -11,16 +11,55 @@ Algorithms follow the canonical definitions:
     similarity, n = 1..4, count clipping, gaussian length penalty
     (σ = 6), ×10 scaling.
 
-Inputs are whitespace-tokenized strings (our pipeline lowercases and
-strips punctuation at tokenization time, which approximates the PTB
-tokenizer used by coco-caption closely enough for relative comparison).
+Inputs are whitespace-tokenized strings.  ``score_captions_json``
+normalizes both sides with ``ptb_tokenize``, which vendor-matches the
+effective behavior of coco-caption's PTBTokenizer (CoreNLP tokenize →
+lowercase → drop its PUNCTUATIONS list) on caption-domain text, so the
+scores are comparable to the official tylin/coco-caption numbers the
+reference's CIDEr≈0.8 claim uses (``/root/reference/README.md:47``).
 """
 
 from __future__ import annotations
 
 import math
+import re
 from collections import Counter, defaultdict
 from typing import Dict, List, Sequence
+
+# ----------------------------------------------------------------------
+# PTB tokenization (coco-caption parity)
+# ----------------------------------------------------------------------
+
+# coco-caption drops exactly these tokens after CoreNLP tokenization
+# (pycocoevalcap/tokenizer/ptbtokenizer.py PUNCTUATIONS); CoreNLP maps
+# brackets to -LRB- etc. and quotes to ``/'' — we drop the raw forms.
+_PTB_PUNCT = {"''", "'", "``", "`", ".", "?", "!", ",", ":", "-", "--",
+              "...", ";", '"', "(", ")", "[", "]", "{", "}"}
+
+# CoreNLP's special-cased multiword splits that plausibly occur in captions
+_PTB_SPECIALS = {"cannot": "can not", "gonna": "gon na", "wanna": "wan na",
+                 "gotta": "got ta", "lemme": "lem me", "gimme": "gim me"}
+
+# words, keeping internal hyphens / slashes / number commas+decimals /
+# o'clock-style apostrophes as one token (PTB behavior); split-off
+# contraction suffixes; runs of dots/dashes; single symbols
+_PTB_TOKEN_RE = re.compile(
+    r"[\w$%]+(?:[-/.,'][\w$%]+)*|'(?:s|re|m|ve|ll|d)|n't|\.\.\.|--|[^\w\s]")
+
+
+def ptb_tokenize(caption: str) -> List[str]:
+    """Lowercase + tokenize one caption the way coco-caption's
+    PTBTokenizer does: CoreNLP PTB rules (contraction splits — ``don't``
+    → ``do n't``, ``can't`` → ``ca n't``; hyphenated compounds and
+    numbers like ``1,000`` stay single tokens; punctuation split off),
+    then remove the PUNCTUATIONS list.  Pure-Python stand-in: the
+    official tokenizer shells out to the CoreNLP jar, unavailable here."""
+    s = caption.lower().strip()
+    for word, split in _PTB_SPECIALS.items():
+        s = re.sub(rf"\b{word}\b", split, s)
+    s = re.sub(r"n't\b", " n't", s)            # don't → do n't, can't → ca n't
+    s = re.sub(r"'(s|re|m|ve|ll|d)\b", r" '\1", s)
+    return [t for t in _PTB_TOKEN_RE.findall(s) if t not in _PTB_PUNCT]
 
 
 def _ngrams(tokens: Sequence[str], n: int) -> Counter:
@@ -123,16 +162,15 @@ def cider_d(hypotheses: Dict[str, str], references: Dict[str, List[str]],
 # COCO-eval JSON entry point
 # ----------------------------------------------------------------------
 
-def score_captions_json(results_json_path: str, captions_json_path: str,
-                        lowercase: bool = True) -> Dict[str, float]:
+def score_captions_json(results_json_path: str,
+                        captions_json_path: str) -> Dict[str, float]:
     """Score a generated ``[{'image_id','caption'}]`` JSON against the COCO
-    ground-truth captions file (same inputs as tylin/coco-caption)."""
+    ground-truth captions file (same inputs as tylin/coco-caption; both
+    sides PTB-tokenized like the official pipeline)."""
     import json
-    import re
 
     def norm(s: str) -> str:
-        s = s.lower() if lowercase else s
-        return " ".join(t for t in re.split(r"\W+", s) if t)
+        return " ".join(ptb_tokenize(s))
 
     with open(results_json_path) as f:
         results = json.load(f)
