@@ -57,6 +57,10 @@ class Checkpointer:
         self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
+    def all_steps(self) -> list:
+        self._mgr.wait_until_finished()
+        return sorted(self._mgr.all_steps())
+
     def close(self) -> None:
         self._mgr.wait_until_finished()
         self._mgr.close()

@@ -35,7 +35,14 @@ def run_training(cfg: Config, data: Optional[Data] = None) -> Trainer:
         print(f"Restoring from checkpoint step {ckpt.latest_step()}")
         trainer.restore_from(ckpt)
 
-    trainer.fit(train_batcher, val_batcher, checkpointer=ckpt)
+    quality_hook = None
+    if cfg.eval_metrics:
+        from vae_captioning_tpu.inference import make_quality_hook
+        quality_hook = make_quality_hook(cfg, data.vocab,
+                                         data.val_references())
+
+    trainer.fit(train_batcher, val_batcher, checkpointer=ckpt,
+                quality_hook=quality_hook)
     ckpt.close()
     return trainer
 

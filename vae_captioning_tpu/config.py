@@ -115,6 +115,17 @@ class Config:
     multihost: bool = False     # jax.distributed.initialize() at startup
                                 # (multi-host DCN training; mesh spans all
                                 # processes' devices)
+    image_size: int = 224       # fine-tune input resolution; the data
+                                # pipeline and ImageNet npz require 224 —
+                                # smaller values are for shape-polymorphic
+                                # VGG logic tests / experiments only
+    ckpt_every_steps: int = 0   # >0: async Orbax save every N steps
+                                # (on top of the per-epoch save; a COCO
+                                # fine-tune epoch is ~19k steps — a crash
+                                # should not cost the whole epoch)
+    eval_metrics: bool = False  # per-epoch greedy decode of the holdout
+                                # split scored with in-repo BLEU/CIDEr-D
+                                # into the JSONL log (SURVEY §5 rebuild)
 
     def __post_init__(self):
         if not self.hdf5_file:

@@ -167,6 +167,18 @@ class Data:
             seed=cfg.seed,
         )
 
+    def val_references(self) -> Dict[str, list]:
+        """``image_id (str) -> [plain caption strings]`` for the val
+        split — ground truth for the per-epoch quality hook
+        (``inference.make_quality_hook``).  Text is the tokenizer's
+        word stream (control tokens stripped), i.e. the same surface
+        form decoded hypotheses have."""
+        from vae_captioning_tpu.data.tokenizer import detokenize
+        fn2id = self.captions_val.filename_to_imid
+        return {str(fn2id[fn]): [detokenize(c) for c in caps]
+                for fn, caps in self.captions_val.captions.items()
+                if fn in fn2id}
+
     def test_batcher(self, batch_size: Optional[int] = None) -> Optional[CaptionBatcher]:
         cfg = self.config
         test_dir = self.paths["test_dir"]

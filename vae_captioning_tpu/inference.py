@@ -165,6 +165,34 @@ def generate_captions(
     return out
 
 
+def make_quality_hook(cfg: Config, vocab: Vocabulary,
+                      references: Dict[str, List[str]]):
+    """Per-epoch caption-quality hook for ``Trainer.fit``
+    (``Config.eval_metrics``): greedy-decode the holdout batcher, score
+    with the in-repo BLEU/CIDEr-D (validated in tests/test_eval.py), and
+    return a metrics dict for the JSONL log.  Greedy, not beam: the hook
+    runs every epoch and is a trend signal, not the final number —
+    ``examples/reference_recipe.sh`` does the beam-10 measurement."""
+    from vae_captioning_tpu.eval.scorers import cider_d, corpus_bleu
+    from vae_captioning_tpu.train import build_model
+
+    model = build_model(cfg)
+    greedy = make_decode_fns(model, cfg, vocab)["greedy"]
+
+    def hook(params, val_batcher, rng) -> Dict[str, float]:
+        caps = generate_captions(params, val_batcher, greedy, vocab, rng)
+        hyps = {str(c["image_id"]): c["caption"] for c in caps
+                if str(c["image_id"]) in references and c["caption"]}
+        if not hyps:
+            return {"val_CIDEr-D": 0.0, "val_BLEU-4": 0.0}
+        refs = {iid: references[iid] for iid in hyps}
+        bleu = corpus_bleu(hyps, refs)
+        return {"val_CIDEr-D": round(cider_d(hyps, refs), 4),
+                "val_BLEU-4": round(bleu[3], 4)}
+
+    return hook
+
+
 def run_inference(
     cfg: Config,
     params,

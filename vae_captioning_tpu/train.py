@@ -152,7 +152,8 @@ def init_model(cfg: Config, rng: jax.Array,
     dummy_cv = (jnp.zeros((B, cfg.num_clusters), jnp.float32)
                 if cfg.needs_cluster_vectors else None)
     if cfg.fine_tune:
-        dummy_images = jnp.zeros((B, 224, 224, 3), jnp.float32)
+        s = cfg.image_size
+        dummy_images = jnp.zeros((B, s, s, 3), jnp.float32)
         variables = model.init(rngs, dummy_images,
                                jnp.zeros((B, T), jnp.int32),
                                jnp.zeros((B, T), jnp.int32),
@@ -313,7 +314,10 @@ class Trainer:
 
     # --------------------------------------------------------------
     def fit(self, train_batcher, val_batcher=None, checkpointer=None,
-            log_every: int = 500) -> Dict[str, float]:
+            log_every: int = 500, quality_hook=None) -> Dict[str, float]:
+        """``quality_hook``: optional ``(params, val_batcher, rng) ->
+        {metric: float}`` (see ``inference.make_quality_hook``), called
+        after each epoch's validation and merged into the metric log."""
         cfg = self.cfg
         metrics: Dict[str, float] = {}
         logger = None
@@ -352,22 +356,36 @@ class Trainer:
                         if logger is not None:
                             logger.log(step, metrics, epoch=epoch,
                                        examples_per_sec=round(rate, 1))
+                    if (checkpointer is not None
+                            and cfg.ckpt_every_steps > 0
+                            and step % cfg.ckpt_every_steps == 0):
+                        # async mid-epoch save keyed by the host step —
+                        # no device sync, the write drains in background
+                        checkpointer.save(self.state, step=step)
                     if seen > cfg.num_ex_per_epoch:
                         break
                 if epoch_batches == 0:
                     raise ValueError(
                         "train_batches yielded nothing — dataset smaller "
                         f"than batch_size ({cfg.batch_size})? Lower --bs.")
+            epoch_extra: Dict[str, float] = {}
             if val_batcher is not None:
                 val_rec = self.validate(val_batcher)
                 print(f"Validation reconstruction loss: {val_rec}")
                 metrics["val_rec_loss"] = val_rec
+                epoch_extra["val_rec_loss"] = val_rec
+                if quality_hook is not None:
+                    qm = quality_hook(self.state.params, val_batcher,
+                                      jax.random.fold_in(self._rng, epoch))
+                    print("Validation metrics: " + " ".join(
+                        f"{k}: {v}" for k, v in qm.items()))
+                    metrics.update(qm)
+                    epoch_extra.update(qm)
             if logger is not None:  # epoch-end record (short runs never
                 # reach the per-500-step cadence)
                 logger.log(self.host_step,
                            {k: float(np.mean(v)) for k, v in m.items()},
-                           epoch=epoch, **({"val_rec_loss": val_rec}
-                                           if val_batcher is not None else {}))
+                           epoch=epoch, **epoch_extra)
             if checkpointer is not None:
                 checkpointer.save(self.state)
         if logger is not None:
