@@ -19,6 +19,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: the suite is compile-dominated
+# (~20 s per jitted-model test), so re-runs during development hit the
+# cache and the wall time collapses.  Repo-local dir, gitignored.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_test_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import json  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
@@ -118,12 +127,12 @@ def vgg_npz(tmp_path_factory):
     for name, shape in shapes.items():
         arrays[f"{name}_W"] = rng.normal(0, 0.01, size=shape).astype(np.float32)
         arrays[f"{name}_b"] = rng.normal(0, 0.01, size=shape[-1]).astype(np.float32)
-    arrays["fc6_W"] = rng.normal(0, 0.01, size=(25088, 4096)).astype(np.float32)
-    arrays["fc6_b"] = rng.normal(0, 0.01, size=4096).astype(np.float32)
-    arrays["fc7_W"] = rng.normal(0, 0.01, size=(4096, 4096)).astype(np.float32)
-    arrays["fc7_b"] = rng.normal(0, 0.01, size=4096).astype(np.float32)
-    arrays["fc8_W"] = rng.normal(0, 0.01, size=(4096, 1000)).astype(np.float32)
-    arrays["fc8_b"] = rng.normal(0, 0.01, size=1000).astype(np.float32)
+    # uniform float32 generation: the big fc6 array (25088×4096) costs
+    # seconds with normal(); only shapes/values-roundtrip matter here
+    for fc, sh in (("fc6", (25088, 4096)), ("fc7", (4096, 4096)),
+                   ("fc8", (4096, 1000))):
+        arrays[f"{fc}_W"] = (rng.random(sh, dtype=np.float32) - 0.5) * 0.02
+        arrays[f"{fc}_b"] = (rng.random(sh[1], dtype=np.float32) - 0.5) * 0.02
     path = str(tmp_path_factory.mktemp("weights") / "vgg16_weights.npz")
     np.savez(path, **arrays)
     return path

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from vae_captioning_tpu.config import Config
 from vae_captioning_tpu.data.batcher import CaptionBatcher
 from vae_captioning_tpu.data.coco import CocoCaptions, coco_paths

@@ -8,6 +8,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 TINY = [
     "--set", "embed_size=16", "--set", "latent_size=8",

@@ -1,5 +1,10 @@
 """Fine-tune path: combined VGG16+CVAE model, npz init, frozen groups,
-image-input train step and decode (ref main.py:46-89 + optimizers)."""
+image-input train step and decode (ref main.py:46-89 + optimizers).
+
+Logic tests (routing, freezing, decode wiring) run on a thin 64×64 VGG
+(the module is shape-polymorphic; routing is about param labels, not
+25088-wide matmuls) so the default tier stays fast; only the ImageNet
+npz load needs real 224 shapes and is marked slow."""
 
 import jax
 import jax.numpy as jnp
@@ -12,12 +17,13 @@ from vae_captioning_tpu.train import (
     TrainState, init_model, make_finetune_optimizer, make_train_step)
 
 VOCAB = 30
+IMG = 32  # 32×32 → 1×1×512 = 512-wide fc1; full VGG depth, 49× fewer pixels
 
 
 def ft_config(**kw) -> Config:
     base = dict(embed_size=8, latent_size=4, encoder_hidden=8,
                 decoder_hidden=8, gen_z_samples=2, batch_size=2,
-                fine_tune=True, prior="Normal",
+                fine_tune=True, prior="Normal", image_size=IMG,
                 image_net_weights_path="/nonexistent.npz")
     base.update(kw)
     cfg = Config(**base)
@@ -25,9 +31,9 @@ def ft_config(**kw) -> Config:
     return cfg
 
 
-def make_image_batch(B=2, T=6, seed=0):
+def make_image_batch(B=2, T=6, seed=0, size=IMG):
     rng = np.random.default_rng(seed)
-    images = jnp.asarray(rng.uniform(0, 255, (B, 224, 224, 3))
+    images = jnp.asarray(rng.uniform(0, 255, (B, size, size, 3))
                          .astype(np.float32))
     dec = jnp.asarray(rng.integers(1, VOCAB, (B, T)), jnp.int32)
     enc = jnp.asarray(rng.integers(1, VOCAB, (B, T)), jnp.int32)
@@ -47,8 +53,10 @@ def test_finetune_model_forward():
     assert out["logits"].shape == (2, 6, VOCAB)
 
 
+@pytest.mark.slow
 def test_finetune_npz_init(vgg_npz):
-    cfg = ft_config(image_net_weights_path=vgg_npz)
+    # real 224 shapes: the loader pins fc6 to [25088, 4096]
+    cfg = ft_config(image_net_weights_path=vgg_npz, image_size=224)
     _, params = init_model(cfg, jax.random.PRNGKey(0))
     loaded = np.load(vgg_npz)
     np.testing.assert_allclose(

@@ -53,12 +53,23 @@ def init_and_forward(cfg, B=2, K=1, T=8):
 # ---------------------------------------------------------------- VGG16
 
 def test_vgg16_forward_shape():
+    # 32×32 exercises the full 13-conv/5-pool/fc wiring (module is
+    # shape-polymorphic); the real-224 path is covered by the slow tier
+    model = VGG16()
+    imgs = jnp.zeros((2, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(0), imgs)
+    out = model.apply(params, imgs)
+    assert out.shape == (2, 4096)
+    assert (np.asarray(out) >= 0).all()  # fc2 is post-ReLU (ref :235)
+
+
+@pytest.mark.slow
+def test_vgg16_forward_shape_full_224():
     model = VGG16()
     imgs = jnp.zeros((2, 224, 224, 3))
     params = model.init(jax.random.PRNGKey(0), imgs)
     out = model.apply(params, imgs)
     assert out.shape == (2, 4096)
-    assert (np.asarray(out) >= 0).all()  # fc2 is post-ReLU (ref :235)
 
 
 def test_vgg16_npz_loading(vgg_npz):
@@ -67,21 +78,28 @@ def test_vgg16_npz_loading(vgg_npz):
         "conv1_1", "conv1_2", "conv2_1", "conv2_2", "conv3_1", "conv3_2",
         "conv3_3", "conv4_1", "conv4_2", "conv4_3", "conv5_1", "conv5_2",
         "conv5_3", "fc1", "fc2"}
+    assert params["fc1"]["kernel"].shape == (25088, 4096)
+    assert params["conv5_3"]["kernel"].shape == (3, 3, 512, 512)
+    # fc8 must NOT be in the loaded tree (first-30-arrays semantics)
+    assert "fc8" not in params
+
+
+@pytest.mark.slow
+def test_vgg16_npz_forward(vgg_npz):
+    params = load_npz_weights(vgg_npz)
     model = VGG16()
     imgs = jnp.asarray(np.random.default_rng(0)
                        .uniform(0, 255, (1, 224, 224, 3)).astype(np.float32))
     out = model.apply({"params": params}, imgs)
     assert out.shape == (1, 4096)
     assert np.isfinite(np.asarray(out)).all()
-    # fc8 must NOT be in the loaded tree (first-30-arrays semantics)
-    assert "fc8" not in params
 
 
 def test_vgg16_mean_subtraction():
     """Feeding exactly the ImageNet mean must zero the input to conv1."""
     model = VGG16()
     mean_img = jnp.broadcast_to(
-        jnp.asarray([123.68, 116.779, 103.939]), (1, 224, 224, 3))
+        jnp.asarray([123.68, 116.779, 103.939]), (1, 32, 32, 3))
     params = model.init(jax.random.PRNGKey(0), mean_img)
     # zero conv biases → output of every layer on zero input is zero → fc2 0
     zeroed = jax.tree.map(jnp.zeros_like, params)
