@@ -310,6 +310,40 @@ def test_make_quality_hook_scores_decodes():
     assert all(np.isfinite(v) and v >= 0.0 for v in out.values())
 
 
+def test_prefetcher_order_exceptions_close():
+    from vae_captioning_tpu.utils.prefetch import Prefetcher
+    assert list(Prefetcher(range(100), depth=3)) == list(range(100))
+    assert list(Prefetcher(iter(()), depth=1)) == []
+
+    def boom():
+        yield 1
+        raise RuntimeError("source failed")
+
+    p = Prefetcher(boom())
+    assert next(p) == 1
+    with pytest.raises(RuntimeError, match="source failed"):
+        next(p)
+    # early exit: close() unblocks the producer thread
+    p2 = Prefetcher(range(10**6), depth=1)
+    assert next(p2) == 0
+    p2.close()
+    p2._thread.join(timeout=5)
+    assert not p2._thread.is_alive()
+
+
+def test_fit_uses_prefetcher_and_matches_inline():
+    """Same 6-step trajectory with prefetch on and off."""
+    losses = {}
+    for depth in (0, 2):
+        cfg = small_config(prefetch_batches=depth, num_epochs=1,
+                           num_ex_per_epoch=40, batch_size=8)
+        trainer = Trainer(cfg)
+        out = trainer.fit(_FakeBatcher(n_batches=6), log_every=1)
+        assert np.isfinite(out["loss"])
+        losses[depth] = (trainer.host_step, out["loss"])
+    assert losses[0] == losses[2]
+
+
 def test_fit_raises_on_dataset_smaller_than_batch():
     """Regression: fit() used to spin forever when train_batches yielded
     nothing (dataset < batch_size with drop_remainder)."""

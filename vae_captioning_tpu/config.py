@@ -126,6 +126,11 @@ class Config:
     eval_metrics: bool = False  # per-epoch greedy decode of the holdout
                                 # split scored with in-repo BLEU/CIDEr-D
                                 # into the JSONL log (SURVEY §5 rebuild)
+    prefetch_batches: int = 2   # host-side batch-assembly lookahead on a
+                                # background thread (0 = inline); keeps
+                                # the device busy when assembly (JPEG
+                                # decode in fine-tune mode) rivals step
+                                # time — step ≈ max(compute, IO)
 
     def __post_init__(self):
         if not self.hdf5_file:

