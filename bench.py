@@ -10,6 +10,13 @@ cluster-conditioned z draw → init state → batched beam search, one jit,
 no host round-trips inside the timed region.
 
 Prints ONE JSON line.
+
+``--trained N`` (VERDICT r1 #8) first fits N synthetic steps on a
+structured task (features anchored per caption template) so the decode
+runs on PEAKED distributions — the regime where the beam-search
+early-exit bound actually fires; random weights cannot regress that
+path.  The metric line then reports
+``captions_per_sec_per_chip_beam3_trained``.
 """
 
 from __future__ import annotations
@@ -28,30 +35,98 @@ GEN_MAX_LEN = 30
 VOCAB = 11500
 
 
-def main() -> None:
+def _train_synthetic(cfg, model, params, vocab, steps: int,
+                     train_batch: int = 128):
+    """Overfit a 64-template synthetic captioning task: each template is
+    a fixed token sequence with a fixed feature anchor (+noise), so the
+    decoder's per-step distributions peak and sequences EOS early."""
+    from vae_captioning_tpu.train import (TrainState, make_optimizer,
+                                          make_train_step)
+
+    tx = make_optimizer(cfg)
+    state = TrainState.create(params, tx)
+    step = make_train_step(model, tx, cfg, donate=False)
+
+    rng = np.random.default_rng(1)
+    n_templates, T = 64, 16
+    words = rng.integers(3, vocab.vocab_size,
+                         size=(n_templates, T - 1)).astype(np.int32)
+    lens = rng.integers(5, T - 1, size=n_templates).astype(np.int32)
+    anchors = rng.normal(size=(n_templates, cfg.cnn_feature_size)) \
+        .astype(np.float32)
+    cvs = rng.random((n_templates, cfg.num_clusters)).astype(np.float32)
+    cvs /= cvs.sum(-1, keepdims=True)
+    bos, eos = vocab.bos_id, vocab.eos_id
+
+    dec_rows = np.zeros((n_templates, T), np.int32)   # [BOS, w...]
+    lab_rows = np.zeros((n_templates, T), np.int32)   # [w..., EOS]
+    for t in range(n_templates):
+        L = int(lens[t])
+        dec_rows[t, 0] = bos
+        dec_rows[t, 1:L + 1] = words[t, :L]
+        lab_rows[t, :L] = words[t, :L]
+        lab_rows[t, L] = eos
+    row_len = (lens + 1).astype(np.int32)
+
+    key = jax.random.PRNGKey(7)
+    for s in range(steps):
+        ids = rng.integers(0, n_templates, train_batch)
+        feats = anchors[ids] + 0.05 * rng.normal(
+            size=(train_batch, cfg.cnn_feature_size)).astype(np.float32)
+        state, _ = step(state, jnp.asarray(feats),
+                        jnp.asarray(lab_rows[ids]),
+                        jnp.asarray(dec_rows[ids]),
+                        jnp.asarray(row_len[ids]), jnp.asarray(cvs[ids]),
+                        jax.random.fold_in(key, s))
+    jax.block_until_ready(state.params)
+    return state.params, anchors, cvs
+
+
+def main(argv=None) -> None:
+    import argparse
+
     from vae_captioning_tpu.config import Config
     from vae_captioning_tpu.inference import make_decode_fns
     from vae_captioning_tpu.models.cvae import CVAEModel
     from vae_captioning_tpu.data.vocabulary import Vocabulary
     from vae_captioning_tpu.train import init_model
 
+    p = argparse.ArgumentParser()
+    p.add_argument("--trained", type=int, default=0, metavar="STEPS",
+                   help="train STEPS synthetic steps first; time decode "
+                        "on the peaked (early-exit-active) model")
+    p.add_argument("--batch", type=int, default=BATCH)
+    p.add_argument("--vocab", type=int, default=VOCAB)
+    args = p.parse_args(argv)
+    batch, vocab_size = args.batch, args.vocab
+
     cfg = Config(prior="AG", use_c_v=True, beam_size=BEAM,
                  gen_max_len=GEN_MAX_LEN, sample_gen="beam_search")
-    cfg.vocab_size = VOCAB
+    cfg.vocab_size = vocab_size
     # a synthetic vocab of the right size (ids drive shapes only)
     vocab = Vocabulary(["<BOS>", "<EOS>", "<UNK>"]
-                       + [f"w{i}" for i in range(VOCAB - 4)])
-    assert vocab.vocab_size == VOCAB
+                       + [f"w{i}" for i in range(vocab_size - 4)])
+    assert vocab.vocab_size == vocab_size
 
     model, params = init_model(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    if args.trained:
+        params, anchors, cvs = _train_synthetic(cfg, model, params, vocab,
+                                                args.trained)
+        # decode on in-distribution features: the trained model peaks and
+        # EOSes early — exactly the early-exit path this variant covers
+        ids = rng.integers(0, anchors.shape[0], batch)
+        features = anchors[ids] + 0.05 * rng.normal(
+            size=(batch, cfg.cnn_feature_size)).astype(np.float32)
+        features = jnp.asarray(features)
+        c_v = jnp.asarray(cvs[ids])
+    else:
+        features = jnp.asarray(rng.normal(size=(batch, cfg.cnn_feature_size))
+                               .astype(np.float32))
+        c_v = rng.random((batch, cfg.num_clusters)).astype(np.float32)
+        c_v = jnp.asarray(c_v / c_v.sum(-1, keepdims=True))
     fns = make_decode_fns(CVAEModel.from_config(cfg), cfg, vocab)
     beam_fn = fns["beam_search"]
-
-    rng = np.random.default_rng(0)
-    features = jnp.asarray(rng.normal(size=(BATCH, cfg.cnn_feature_size))
-                           .astype(np.float32))
-    c_v = rng.random((BATCH, cfg.num_clusters)).astype(np.float32)
-    c_v = jnp.asarray(c_v / c_v.sum(-1, keepdims=True))
 
     key = jax.random.PRNGKey(0)
     # warmup / compile.  NOTE: on the axon relay, block_until_ready alone
@@ -74,9 +149,10 @@ def main() -> None:
     dt = float(np.median(times))
 
     n_chips = len(jax.devices())
-    per_chip = BATCH / dt / n_chips
+    per_chip = batch / dt / n_chips
     print(json.dumps({
-        "metric": "captions_per_sec_per_chip_beam3",
+        "metric": "captions_per_sec_per_chip_beam3"
+                  + ("_trained" if args.trained else ""),
         "value": round(per_chip, 2),
         "unit": "captions/sec/chip",
         "vs_baseline": round(per_chip / BASELINE_PER_CHIP, 3),

@@ -32,24 +32,72 @@ from vae_captioning_tpu.train import (
 OBJECTS = ["dog", "cat", "horse", "bus", "car", "boat", "bird", "bear",
            "pizza", "kite", "clock", "vase", "bench", "laptop", "bottle"]
 SCENES = ["park", "beach", "street", "kitchen", "field"]
-TEMPLATES = ["a {} and a {} in the {}", "the {} near a {} at the {}",
-             "a photo of a {} with a {} in the {}"]
+TEMPLATES = ["a {0} and a {1} in the {2}", "the {0} near a {1} at the {2}",
+             "a photo of a {0} with a {1} in the {2}"]
+
+# --hard corpus (VERDICT r1 #3c): the 80 COCO category names, adjective
+# slots, plural forms and 8 templates — hundreds of vocabulary words and
+# a much larger composition space, so the held-out score measures real
+# generalization, not template lookup.
+OBJECTS_HARD = [
+    "person", "bicycle", "car", "motorcycle", "airplane", "bus", "train",
+    "truck", "boat", "traffic light", "fire hydrant", "stop sign",
+    "parking meter", "bench", "bird", "cat", "dog", "horse", "sheep",
+    "cow", "elephant", "bear", "zebra", "giraffe", "backpack", "umbrella",
+    "handbag", "tie", "suitcase", "frisbee", "skis", "snowboard",
+    "sports ball", "kite", "baseball bat", "baseball glove", "skateboard",
+    "surfboard", "tennis racket", "bottle", "wine glass", "cup", "fork",
+    "knife", "spoon", "bowl", "banana", "apple", "sandwich", "orange",
+    "broccoli", "carrot", "hot dog", "pizza", "donut", "cake", "chair",
+    "couch", "potted plant", "bed", "dining table", "toilet", "tv",
+    "laptop", "mouse", "remote", "keyboard", "cell phone", "microwave",
+    "oven", "toaster", "sink", "refrigerator", "book", "clock", "vase",
+    "scissors", "teddy bear", "hair drier", "toothbrush"]
+ADJECTIVES = ["red", "blue", "green", "yellow", "white", "black", "small",
+              "large", "tiny", "huge", "old", "shiny", "wooden", "bright",
+              "dark", "striped"]
+SCENES_HARD = ["park", "beach", "street", "kitchen", "field", "market",
+               "station", "bathroom", "bedroom", "garden", "harbor",
+               "playground"]
+TEMPLATES_HARD = [
+    "a {adj} {o1} and a {o2} in the {sc}",
+    "the {o1} sits near a {adj} {o2} at the {sc}",
+    "a photo of a {o1} beside a {o2} in a {adj} {sc}",
+    "two {o1}s with a {adj} {o2} at the {sc}",
+    "a {adj} {o1} next to the {o2} near the {sc}",
+    "there is a {o1} and a {adj} {o2} by the {sc}",
+    "an image of the {adj} {o1} behind a {o2} in the {sc}",
+    "some {o1}s around a {o2} inside the {adj} {sc}",
+]
 
 
-def make_dataset(n_images, rng):
-    obj_emb = rng.normal(0, 1, (len(OBJECTS), 4096)).astype(np.float32)
-    scene_emb = rng.normal(0, 1, (len(SCENES), 4096)).astype(np.float32)
+def make_dataset(n_images, rng, hard=False):
+    objects = OBJECTS_HARD if hard else OBJECTS
+    scenes = SCENES_HARD if hard else SCENES
+    obj_emb = rng.normal(0, 1, (len(objects), 4096)).astype(np.float32)
+    scene_emb = rng.normal(0, 1, (len(scenes), 4096)).astype(np.float32)
+    adj_emb = rng.normal(0, 1, (len(ADJECTIVES), 4096)).astype(np.float32)
     feats, caps, cvs = [], [], []
     for _ in range(n_images):
-        o1, o2 = rng.choice(len(OBJECTS), 2, replace=False)
-        sc = rng.integers(len(SCENES))
-        feats.append(obj_emb[o1] + obj_emb[o2] + scene_emb[sc]
-                     + rng.normal(0, 0.1, 4096).astype(np.float32))
-        image_caps = [t.format(OBJECTS[o1], OBJECTS[o2], SCENES[sc])
-                      for t in TEMPLATES]
+        o1, o2 = rng.choice(len(objects), 2, replace=False)
+        sc = rng.integers(len(scenes))
+        if hard:
+            adj = rng.integers(len(ADJECTIVES))
+            feats.append(obj_emb[o1] + obj_emb[o2] + scene_emb[sc]
+                         + 0.7 * adj_emb[adj]
+                         + rng.normal(0, 0.1, 4096).astype(np.float32))
+            k_templates = rng.choice(len(TEMPLATES_HARD), 3, replace=False)
+            image_caps = [TEMPLATES_HARD[t].format(
+                adj=ADJECTIVES[adj], o1=objects[o1], o2=objects[o2],
+                sc=scenes[sc]) for t in k_templates]
+        else:
+            feats.append(obj_emb[o1] + obj_emb[o2] + scene_emb[sc]
+                         + rng.normal(0, 0.1, 4096).astype(np.float32))
+            image_caps = [t.format(objects[o1], objects[o2], scenes[sc])
+                          for t in TEMPLATES]
         caps.append(image_caps)
         cv = np.zeros(90, np.float32)
-        cv[o1] = cv[o2] = 0.5  # detected-object vector
+        cv[o1 % 90] = cv[o2 % 90] = 0.5  # detected-object vector
         cvs.append(cv)
     return np.stack(feats), caps, np.stack(cvs)
 
@@ -75,19 +123,27 @@ def main():
     p.add_argument("--steps", type=int, default=400)
     p.add_argument("--images", type=int, default=200)
     p.add_argument("--holdout", type=int, default=32)
+    p.add_argument("--hard", action="store_true",
+                   help="80-object/adjective corpus; pair with e.g. "
+                        "--images 5000 --holdout 512 --steps 3000")
     args = p.parse_args()
 
     rng = np.random.default_rng(0)
-    feats, caps, cvs = make_dataset(args.images + args.holdout, rng)
+    feats, caps, cvs = make_dataset(args.images + args.holdout, rng,
+                                    hard=args.hard)
     vocab = Vocabulary.build(
         (tokenize_caption(c) for image in caps for c in image), keep_words=1)
     caps_ids = [[vocab.encode(tokenize_caption(c)) for c in image]
                 for image in caps]
 
-    cfg = Config(prior="AG", use_c_v=True, embed_size=64, latent_size=16,
-                 encoder_hidden=128, decoder_hidden=128, gen_z_samples=8,
-                 learning_rate=0.003, gen_max_len=12, std=0.05, beam_size=3,
-                 num_captions=3)
+    dims = (dict(embed_size=128, latent_size=32, encoder_hidden=256,
+                 decoder_hidden=256, gen_max_len=16)
+            if args.hard else
+            dict(embed_size=64, latent_size=16, encoder_hidden=128,
+                 decoder_hidden=128, gen_max_len=12))
+    cfg = Config(prior="AG", use_c_v=True, gen_z_samples=8,
+                 learning_rate=0.003, std=0.05, beam_size=3,
+                 num_captions=3, **dims)
     cfg.vocab_size = vocab.vocab_size
 
     model, params = init_model(cfg, jax.random.PRNGKey(0))
@@ -97,10 +153,12 @@ def main():
 
     n_train = args.images
     bs = 64
-    print(f"training on {n_train} images, vocab {vocab.vocab_size}")
+    T = max(len(c) for image in caps_ids for c in image) - 1
+    print(f"training on {n_train} images, vocab {vocab.vocab_size}, T={T}")
     for it in range(args.steps):
         idx = rng.choice(n_train, bs, replace=False)
-        batch = to_batch(feats[idx], [caps_ids[i] for i in idx], cvs[idx])
+        batch = to_batch(feats[idx], [caps_ids[i] for i in idx], cvs[idx],
+                         T=T)
         arrs = [jnp.asarray(x) for x in _flatten_batch(batch)]
         state, m = step(state, *arrs, jax.random.PRNGKey(1))
         if (it + 1) % 100 == 0:
