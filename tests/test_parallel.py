@@ -1,6 +1,8 @@
 """Multi-chip (8 virtual CPU devices) tests: sharded decode parity,
 mesh helpers, and the driver's dryrun_multichip entry."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -133,6 +135,72 @@ def test_multistep_sharded_trajectory_matches_single_device():
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_multihost_two_process_training():
+    """REAL multi-host training: 2 jax.distributed processes × 4 virtual
+    CPU devices (Gloo collectives), production Trainer, 4 steps — both
+    processes must agree with each other AND with the single-process
+    8-device trajectory on the same seed-deterministic batches.
+    Exercises jax.distributed.initialize, per-process batch slicing, and
+    make_array_from_process_local_data end-to-end (SURVEY §5
+    distributed-comm rebuild; VERDICT r1 'unexercised multi-host')."""
+    import json
+    import socket
+    import subprocess
+    import sys
+
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(here, "multihost_worker.py"),
+         str(pid), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
+        for pid in range(2)]
+    outs = [p.communicate(timeout=600) for p in procs]
+    results = {}
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        rec = json.loads(out.strip().splitlines()[-1])
+        results[rec["pid"]] = rec["losses"]
+    assert set(results) == {0, 1}
+    # both processes compute the same global loss every step
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
+
+    # single-process reference on this process's own 8-device mesh
+    from vae_captioning_tpu.config import Config
+    from vae_captioning_tpu.data.batcher import Batch
+    from vae_captioning_tpu.train import Trainer
+
+    cfg = Config(embed_size=16, latent_size=8, encoder_hidden=16,
+                 decoder_hidden=16, gen_z_samples=4, batch_size=16,
+                 prior="Normal", learning_rate=0.05, optimizer="SGD")
+    cfg.vocab_size = 40
+    trainer = Trainer(cfg)
+    ref_losses = []
+    for step in range(4):
+        rng = np.random.default_rng(step)
+        B, K, T = 16, 2, 8
+        dec = rng.integers(1, 40, size=(B, K, T)).astype(np.int32)
+        lab = np.concatenate([dec[:, :, 1:],
+                              np.zeros((B, K, 1), np.int32)], -1)
+        lengths = np.full((B, K), T - 1, np.int32)
+        c_v = rng.random((B, 90)).astype(np.float32)
+        c_v /= c_v.sum(-1, keepdims=True)
+        batch = Batch(features=rng.normal(size=(B, 4096))
+                      .astype(np.float32),
+                      dec_inputs=dec, labels=lab, lengths=lengths,
+                      cluster_vectors=c_v, valid=B)
+        ref_losses.append(float(trainer.run_step(batch)["loss"]))
+    # 2×4-device distributed must track the 8-device single-process run
+    np.testing.assert_allclose(results[0], ref_losses, rtol=1e-3)
 
 
 def test_sharded_beam_decode_matches_unsharded():
