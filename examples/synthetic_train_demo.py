@@ -13,6 +13,10 @@ train/decode/score path without MS-COCO.  Run:
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
