@@ -112,6 +112,11 @@ class Config:
                                 # logits never materialized in HBM
     fused_decode: bool = True   # Pallas decode kernels on TPU (kill
                                 # switch for debugging: False = pure XLA)
+    fused_lstm_step: bool = True  # fuse the decode LSTM step (embedding
+                                # gather + gate matmul + elementwise) into
+                                # one Pallas kernel; effective only with
+                                # fused_decode on TPU, 1 decoder layer,
+                                # bfloat16 compute
     multihost: bool = False     # jax.distributed.initialize() at startup
                                 # (multi-host DCN training; mesh spans all
                                 # processes' devices)

@@ -23,7 +23,8 @@ import numpy as np
 
 from vae_captioning_tpu.config import Config
 from vae_captioning_tpu.data.vocabulary import Vocabulary
-from vae_captioning_tpu.models.cvae import CVAEModel, logits_head_params
+from vae_captioning_tpu.models.cvae import (CVAEModel, decoder_step_params,
+                                            logits_head_params)
 from vae_captioning_tpu.ops.decoding import (
     beam_search, sample_decode, tokens_to_text)
 
@@ -38,6 +39,30 @@ def make_decode_fns(model, cfg: Config, vocab: Vocabulary):
     # compiled Pallas path only; cfg.fused_decode=False is the pure-XLA
     # kill switch (results are identical either way — tested)
     fused = cfg.fused_decode and jax.default_backend() == "tpu"
+    # second-level kill switch: LSTM step (embedding gather + gate matmul
+    # + elementwise) as ONE Pallas kernel (ops/fused_lstm_step.py); only
+    # for the single-layer bf16 decoder (the reference default)
+    fused_step = (fused and cfg.fused_lstm_step
+                  and cfg.decoder_rnn_layers == 1
+                  and cfg.compute_dtype == "bfloat16")
+
+    def _hidden_step_fn(params):
+        """(carry, tokens) → (carry, hidden [N, H]): the LSTM half of a
+        decode step, fused when eligible."""
+        if not fused_step:
+            def fn(carry, tokens):
+                return model.apply({"params": params}, carry, tokens,
+                                   method=cls.decode_step_hidden)
+            return fn
+        from vae_captioning_tpu.ops.fused_lstm_step import fused_lstm_step
+        emb, kern, kbias = decoder_step_params(params)
+
+        def fn(carry, tokens):
+            ((c, h),) = carry
+            nc, nh = fused_lstm_step(tokens, c, h, emb, kern, kbias)
+            return ((nc, nh),), nh
+
+        return fn
 
     def _init_and_step(params, features, c_v, rng):
         c_v = c_v if needs_cv else None
@@ -55,10 +80,10 @@ def make_decode_fns(model, cfg: Config, vocab: Vocabulary):
         logits+top-K+logsumexp (no [N, V] logits in HBM)."""
         from vae_captioning_tpu.ops.fused_logits_topk import fused_logits_top_k
         w, b = logits_head_params(params)
+        hidden_step = _hidden_step_fn(params)
 
         def fn(carry, tokens):
-            carry, h = model.apply({"params": params}, carry, tokens,
-                                   method=cls.decode_step_hidden)
+            carry, h = hidden_step(carry, tokens)
             vals, idx, lse = fused_logits_top_k(h, w, b, k)
             return carry, vals, idx, lse
 
@@ -93,10 +118,10 @@ def make_decode_fns(model, cfg: Config, vocab: Vocabulary):
         """Greedy fast path: argmax = fused top-1, logits never in HBM."""
         from vae_captioning_tpu.ops.fused_logits_topk import fused_logits_top_k
         w, b = logits_head_params(params)
+        hidden_step = _hidden_step_fn(params)
 
         def fn(carry, tokens):
-            carry, h = model.apply({"params": params}, carry, tokens,
-                                   method=cls.decode_step_hidden)
+            carry, h = hidden_step(carry, tokens)
             _, idx, _ = fused_logits_top_k(h, w, b, 1)
             return carry, idx[:, 0]
 
@@ -115,10 +140,10 @@ def make_decode_fns(model, cfg: Config, vocab: Vocabulary):
         logits matmul (one categorical draw per row, no [N, V] in HBM)."""
         from vae_captioning_tpu.ops.fused_logits_topk import fused_logits_sample
         w, b = logits_head_params(params)
+        hidden_step = _hidden_step_fn(params)
 
         def fn(carry, tokens, step_rng):
-            carry, h = model.apply({"params": params}, carry, tokens,
-                                   method=cls.decode_step_hidden)
+            carry, h = hidden_step(carry, tokens)
             seed = jax.random.randint(step_rng, (), 0, 2**31 - 1)
             nxt = fused_logits_sample(h, w, b, seed, cfg.temperature)
             return carry, nxt

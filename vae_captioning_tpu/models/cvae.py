@@ -201,6 +201,17 @@ def logits_head_params(params) -> Tuple[jax.Array, jax.Array]:
     return head["kernel"], head["bias"]
 
 
+def decoder_step_params(params) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(embedding, lstm kernel, lstm bias) of the decoder's single-layer
+    cell, for the fused LSTM decode-step kernel (ops/fused_lstm_step.py).
+    Same tree-layout contract as logits_head_params."""
+    sub = params["cvae"] if "cvae" in params else params
+    dec = sub["decoder"]
+    cell = dec["lstm"]["cell_0"]
+    return (dec["dec_embeddings"]["embedding"], cell["kernel"],
+            cell["bias"])
+
+
 # ----------------------------------------------------------------------
 # loss assembly (ref main.py:118-177)
 # ----------------------------------------------------------------------
