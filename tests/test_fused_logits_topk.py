@@ -95,3 +95,26 @@ def test_beam_search_with_step_topk_fn():
     np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
     np.testing.assert_allclose(np.asarray(a.scores), np.asarray(b.scores),
                                rtol=1e-5)
+
+
+def test_fused_tie_break_earliest_column(interpreted):
+    """Exact-tie semantics across 128-lane groups: equal logit values
+    must resolve to the EARLIEST vocab index (lax.top_k rule), which the
+    two-level group extraction preserves via group-index tie-break."""
+    M, H, V = 8, 32, 3840
+    h = jnp.ones((M, H), jnp.float32)
+    w = jnp.zeros((H, V), jnp.float32)
+    b = np.zeros(V, np.float32)
+    # the same top value planted in three different 128-lane groups,
+    # plus a second value tied twice
+    b[5] = 9.0
+    b[700] = 9.0
+    b[2900] = 9.0
+    b[130] = 7.0
+    b[131] = 7.0
+    v, i, l = interpreted(h, w, jnp.asarray(b), 5)
+    v2, i2, l2 = fl.fused_logits_top_k_xla(h, w, jnp.asarray(b), 5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(i[0]),
+                                  np.asarray([5, 700, 2900, 130, 131]))
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v2), rtol=1e-5)

@@ -67,17 +67,11 @@ def _kernel(h_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1) + j * bv
     tile = jnp.where(col < v_real, tile, _NEG)       # mask vocab padding
 
-    # ---- online logsumexp
-    m_old = ms_scratch[0:1, cols].T                   # [BM, 1]
-    s_old = ms_scratch[1:2, cols].T
-    tile_max = jnp.max(tile, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_old, tile_max)
-    s_new = (s_old * jnp.exp(m_old - m_new)
-             + jnp.sum(jnp.exp(tile - m_new), axis=-1, keepdims=True))
-    ms_scratch[0:1, cols] = m_new.T
-    ms_scratch[1:2, cols] = s_new.T
-
     # ---- tile top-K (K unrolled extraction passes, all in VMEM)
+    # (A two-level variant — per-128-lane group maxima → top-K groups →
+    # masked slice gather — was built and measured SLOWER: 0.186 vs
+    # 0.135 ms/step per extraction pass at M=6144; the 30-iteration
+    # masked gather generates worse VPU code than these long sweeps.)
     work = tile
     t_vals = []
     t_idx = []
@@ -91,6 +85,17 @@ def _kernel(h_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref,
         work = jnp.where(col == idx, _NEG, work)
     tile_vals = jnp.concatenate(t_vals, axis=-1)      # [BM, k]
     tile_idx = jnp.concatenate(t_idx, axis=-1)
+
+    # ---- online logsumexp (tile max = the first extraction pass's max
+    # — saves one full-tile reduce)
+    m_old = ms_scratch[0:1, cols].T                   # [BM, 1]
+    s_old = ms_scratch[1:2, cols].T
+    tile_max = t_vals[0]
+    m_new = jnp.maximum(m_old, tile_max)
+    s_new = (s_old * jnp.exp(m_old - m_new)
+             + jnp.sum(jnp.exp(tile - m_new), axis=-1, keepdims=True))
+    ms_scratch[0:1, cols] = m_new.T
+    ms_scratch[1:2, cols] = s_new.T
 
     # ---- merge into the running top-K (select k best of 2k)
     cat_v = jnp.concatenate([rv_scratch[:, cols].T, tile_vals], axis=-1)
