@@ -278,3 +278,20 @@ def test_floored_eos_never_finishes():
     # fallback-to-partials: best beam is all 3s with raw-logprob score ~0
     assert (np.asarray(res.tokens[:, 0]) == 3).all(), np.asarray(res.tokens)
     assert float(res.scores[0, 0]) > -1.0  # NOT a NEG_INF-derived score
+
+
+def test_sample_decode_early_exit_identical():
+    """early_exit must not change greedy or sampled outputs — dead lanes
+    emit PAD either way; the while_loop just stops paying for them."""
+    step_fn = make_step_fn()
+    init = jnp.zeros((4, 6))
+    kw = dict(bos_id=BOS, eos_id=EOS, max_len=12)
+    a = sample_decode(step_fn, init, 4, early_exit=True, **kw)
+    b = sample_decode(step_fn, init, 4, early_exit=False, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    rng = jax.random.PRNGKey(5)
+    c = sample_decode(step_fn, init, 4, mode="sample", rng=rng,
+                      early_exit=True, **kw)
+    d = sample_decode(step_fn, init, 4, mode="sample", rng=rng,
+                      early_exit=False, **kw)
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(d))

@@ -55,15 +55,22 @@ def sample_decode(
     rng: jax.Array | None = None,
     step_argmax_fn: Any = None,      # greedy fast path: (carry, toks)→(carry, next)
     step_sample_fn: Any = None,      # sample fast path: (carry, toks, rng)→(carry, next)
+    early_exit: bool = True,         # stop once every lane has emitted EOS
 ) -> jax.Array:
     """Batched greedy/sampled decode → token ids [B, max_len]
-    (EOS included; positions after EOS are PAD=0)."""
+    (EOS included; positions after EOS are PAD=0).
+
+    ``early_exit`` wraps the scan in a while_loop that stops once no
+    lane is alive — output-identical (dead lanes emit PAD either way),
+    and on trained models captions EOS at ~10 of 30 steps."""
     if mode == "sample" and rng is None:
         raise ValueError("mode='sample' requires an rng")
     rng = rng if rng is not None else jax.random.PRNGKey(0)
+    step_rngs = jax.random.split(rng, max_len)
 
-    def body(state, step_rng):
-        carry, tokens, alive = state
+    def body(state, t):
+        carry, tokens, alive, out = state
+        step_rng = step_rngs[t]
         if mode == "greedy" and step_argmax_fn is not None:
             carry, nxt = step_argmax_fn(carry, tokens)
         elif mode == "sample" and step_sample_fn is not None:
@@ -77,14 +84,33 @@ def sample_decode(
                 nxt = jnp.argmax(logits, axis=-1)
         nxt = nxt.astype(jnp.int32)
         emitted = jnp.where(alive, nxt, 0)
+        out = jax.lax.dynamic_update_index_in_dim(out, emitted, t, axis=1)
         alive = jnp.logical_and(alive, nxt != eos_id)
-        return (carry, nxt, alive), emitted
+        return (carry, nxt, alive, out)
 
     tokens0 = jnp.full((batch_size,), bos_id, jnp.int32)
     alive0 = jnp.ones((batch_size,), bool)
-    step_rngs = jax.random.split(rng, max_len)
-    _, out = jax.lax.scan(body, (init_carry, tokens0, alive0), step_rngs)
-    return jnp.transpose(out)  # [B, max_len]
+    out0 = jnp.zeros((batch_size, max_len), jnp.int32)
+    state0 = (init_carry, tokens0, alive0, out0)
+
+    if early_exit:
+        def cond(loop_state):
+            t, state = loop_state
+            return jnp.logical_and(t < max_len, jnp.any(state[2]))
+
+        def while_body(loop_state):
+            t, state = loop_state
+            return t + 1, body(state, t)
+
+        _, (_, _, _, out) = jax.lax.while_loop(
+            cond, while_body, (jnp.asarray(0, jnp.int32), state0))
+    else:
+        def scan_body(state, t):
+            return body(state, t), None
+
+        (_, _, _, out), _ = jax.lax.scan(scan_body, state0,
+                                         jnp.arange(max_len))
+    return out  # [B, max_len]
 
 
 # ----------------------------------------------------------------------
