@@ -229,3 +229,51 @@ def test_baseline_decode_has_no_z():
     c1 = model.apply(variables, features, None, method=CVAEModel.decode_init)
     c2 = model.apply(variables, features, None, method=CVAEModel.decode_init)
     np.testing.assert_array_equal(np.asarray(c1[0][0]), np.asarray(c2[0][0]))
+
+
+def test_gen_z_embedding_matches_full_draw_distribution():
+    """Decode-time z is drawn in the projected space (Decoder.
+    gen_z_embedding): its mean must EXACTLY equal z_proj(tile(z_mean))
+    and its covariance must match std²·WᵀW — the law of the old
+    [B, K_z·L] draw pushed through the linear z_proj."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vae_captioning_tpu.models.decoder import Decoder
+
+    L, E, KZ, B = 4, 8, 6, 4000
+    dec = Decoder(vocab_size=20, embed_size=E, hidden_size=16)
+    params = dec.init(jax.random.PRNGKey(0),
+                      jnp.zeros((2, E)), None, jnp.zeros((2, KZ * L)),
+                      method=Decoder.init_state)
+    kernel = np.asarray(params["params"]["z_rnn"]["kernel"])  # [KZ·L, E]
+    bias = np.asarray(params["params"]["z_rnn"]["bias"])
+    rng = np.random.default_rng(0)
+    z_mean = jnp.asarray(rng.normal(size=(B, L)).astype(np.float32))
+    std = 0.3
+
+    out = dec.apply(params, jax.random.PRNGKey(7), z_mean, std, KZ,
+                    method=Decoder.gen_z_embedding)
+    out = np.asarray(out)
+
+    # exact mean: z_proj of the tiled mean (the old deterministic part)
+    tiled = np.tile(np.asarray(z_mean), (1, KZ))
+    want_mean = tiled @ kernel + bias
+    got_mean = out.mean(axis=0) - (want_mean - want_mean.mean(axis=0)
+                                   ).mean(axis=0)
+    # per-row means differ (z_mean varies); compare the noise residual
+    noise = out - want_mean
+    assert abs(noise.mean()) < 5 * std * np.sqrt(
+        np.trace(kernel.T @ kernel)) / np.sqrt(B * E)
+    want_cov = std ** 2 * (kernel.T @ kernel)
+    got_cov = np.cov(noise.T)
+    scale = np.sqrt(np.outer(np.diag(want_cov), np.diag(want_cov)))
+    np.testing.assert_allclose(got_cov / scale, want_cov / scale,
+                               atol=0.12)
+
+    # old-path empirical covariance agrees too (the law being replaced)
+    eps = rng.normal(size=(B, KZ * L)).astype(np.float32)
+    old = (tiled + std * eps) @ kernel + bias
+    old_cov = np.cov((old - want_mean).T)
+    np.testing.assert_allclose(old_cov / scale, want_cov / scale,
+                               atol=0.12)

@@ -166,20 +166,23 @@ class CVAEModel(nn.Module):
     ) -> Carry:
         """Generation-time initial LSTM state (ref decoder.py:41-114,
         gen_mode): z ~ N(z_mean, decode_std) with z_mean = 0, except the
-        AG prior which centers on the image's active cluster means."""
+        AG prior which centers on the image's active cluster means.
+
+        The K_z z-samples are drawn directly in the projected space
+        (Decoder.gen_z_embedding): exact same distribution, 12,000×
+        less noise generation."""
         B = features.shape[0]
         images_fv, c_emb = self._embed_conditioning(features, c_v)
-        z_flat = None
+        z_dec = None
         if not self.no_encoder:
             z_mean = jnp.zeros((B, self.latent_size), jnp.float32)
             if self.prior == "AG" and c_v is not None:
                 z_mean = dist.ag_prior_mean(c_v, self.cluster_means)
-            z = dist.sample_gaussian(self.make_rng("z"), z_mean,
-                                     jnp.asarray(self.decode_std),
-                                     self.gen_z_samples)
-            z_flat = z.reshape(B, -1)
-        return self.decoder.init_state(images_fv, c_emb, z_flat,
-                                       deterministic=True)
+            z_dec = self.decoder.gen_z_embedding(
+                self.make_rng("z"), z_mean, self.decode_std,
+                self.gen_z_samples)
+        return self.decoder.init_state(images_fv, c_emb,
+                                       deterministic=True, z_dec=z_dec)
 
     def decode_step(self, carry: Carry,
                     tokens: jax.Array) -> Tuple[Carry, jax.Array]:

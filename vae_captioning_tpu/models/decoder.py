@@ -51,15 +51,52 @@ class Decoder(nn.Module):
         c_emb: Optional[jax.Array] = None,  # [B, E]
         z_flat: Optional[jax.Array] = None,  # [B, K_z * L]; None = no_encoder
         deterministic: bool = True,
+        z_dec: Optional[jax.Array] = None,  # [B, E] pre-projected z input
     ) -> Carry:
         carry = self.lstm.zero_carry(images_fv.shape[0])
         carry, _ = self.lstm.step(carry, images_fv, deterministic)
         if c_emb is not None and self.use_c_v:
             carry, _ = self.lstm.step(carry, c_emb, deterministic)
-        if z_flat is not None:
+        if z_dec is None and z_flat is not None:
             z_dec = self.z_proj(z_flat)
+        if z_dec is not None:
             carry, _ = self.lstm.step(carry, z_dec, deterministic)
         return carry
+
+    # ------------------------------------------------------------------
+    def gen_z_embedding(self, rng: jax.Array, z_mean: jax.Array,
+                        std, n_samples: int) -> jax.Array:
+        """Generation-time z step input [B, E], sampled in the PROJECTED
+        space.
+
+        At decode, z only enters through the linear ``z_proj``:
+        ``z_proj(concat of K_z iid draws of N(z_mean, std²I))`` is
+        Gaussian with mean ``z_mean @ Σ_s W_s + b`` and covariance
+        ``std²·WᵀW`` (W: [K_z·L, E]) — so an E-dim draw shaped by a
+        Cholesky factor of WᵀW is distributionally identical to drawing
+        all K_z·L latents.  At reference dims that replaces a
+        [B, 100·150] threefry draw (measured 1.7 ms of the 1.9 ms
+        decode_init at B=2048) with a [B, 256] one.  A tiny diagonal
+        jitter (1e-6·max(diag)) keeps the factorization stable; at
+        std = 0.1 it is noise-level-irrelevant."""
+        kernel = self.z_proj.variables["params"]["kernel"]  # [K_z·L, E]
+        bias = self.z_proj.variables["params"]["bias"]
+        L = z_mean.shape[-1]
+        E = kernel.shape[-1]
+        w_sum = kernel.reshape(n_samples, L, E).sum(axis=0)  # [L, E]
+        mean_part = jax.lax.dot_general(
+            z_mean, w_sum, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST) + bias
+        cov = jax.lax.dot_general(
+            kernel, kernel, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)             # [E, E]
+        jitter = 1e-6 * jnp.max(jnp.diagonal(cov))
+        chol = jnp.linalg.cholesky(cov + jitter * jnp.eye(E))
+        eps = jax.random.normal(rng, (z_mean.shape[0], E))
+        noise = jax.lax.dot_general(
+            eps, chol, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)             # eps @ cholᵀ
+        return mean_part + jnp.asarray(std, jnp.float32) * noise
 
     # ------------------------------------------------------------------
     def teacher_forcing(
