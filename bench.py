@@ -30,7 +30,8 @@ import numpy as np
 
 BASELINE_PER_CHIP = 625.0  # 5000 img/s on 8 chips
 BEAM = 3
-BATCH = 2048  # batch-size sweep in PERF.md; 2048 best per-chip throughput
+BATCH = 4096  # batch-size sweep in PERF.md; 4096 best per-chip throughput
+              # (2048 -> 27.5k, 4096 -> 35.9k caps/s with the round-2 stack)
 GEN_MAX_LEN = 30
 VOCAB = 11500
 

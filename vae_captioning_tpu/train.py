@@ -350,6 +350,15 @@ class Trainer:
                             jax.profiler.stop_trace()
                             profiling = False
                             print(f"profiler trace written to {cfg.log_dir}")
+                            try:  # in-repo op-cost summary (utils/xplane)
+                                from vae_captioning_tpu.utils import xplane
+                                agg = xplane.aggregate(cfg.log_dir)
+                                rep = xplane.format_report(
+                                    agg, top=10, plane_filter="device:")
+                                # CPU-only traces have no device plane
+                                print(rep or xplane.format_report(agg, 10))
+                            except Exception as e:  # summary is best-effort
+                                print(f"(xplane summary unavailable: {e})")
                     if step % log_every == 0:
                         metrics = {k: float(np.mean(v)) for k, v in m.items()}
                         rate = seen / max(time.time() - t0, 1e-9)
