@@ -295,3 +295,29 @@ def test_sample_decode_early_exit_identical():
     d = sample_decode(step_fn, init, 4, mode="sample", rng=rng,
                       early_exit=False, **kw)
     np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
+
+
+@pytest.mark.parametrize("beam_size,max_len,B", [
+    (1, 8, 3),    # single-beam: backpointers are all zeros
+    (3, 1, 3),    # one expansion step only
+    (2, 8, 1),    # single image
+    (4, 3, 2),    # beam > candidates surviving a short run
+])
+def test_beam_edge_shapes_match_host(beam_size, max_len, B):
+    """Backpointer beam search must agree with the host oracle at the
+    degenerate shapes (K=1, T=1, B=1) where reconstruction and the
+    finished-pool bookkeeping are most fragile."""
+    step_fn = make_step_fn(seed=11)
+    rng = np.random.default_rng(17)
+    init = jnp.asarray(rng.normal(0, 1, (B, 6)).astype(np.float32))
+    res = beam_search(step_fn, init, B, beam_size=beam_size, bos_id=BOS,
+                      eos_id=EOS, max_len=max_len)
+    host = host_beam_search(step_fn, init, beam_size, max_len=max_len)
+    assert res.tokens.shape == (B, beam_size, max_len)
+    for b in range(B):
+        want_sent, want_score = host[b]
+        got = [int(x) for x in np.asarray(res.tokens[b, 0])]
+        if EOS in got:
+            got = got[: got.index(EOS) + 1]
+        assert got == want_sent[1:], f"image {b}: {got} vs {want_sent[1:]}"
+        assert float(res.scores[b, 0]) == pytest.approx(want_score, rel=1e-4)
