@@ -29,17 +29,23 @@ H = 512
 V = 11500
 
 
-def time_fn(fn, args, iters=7):
-    # axon relay: fetch to host each iteration or timings are fake
-    outs = fn(*args)
-    np.asarray(jax.tree.leaves(outs)[0])
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        outs = fn(*args)
-        np.asarray(jax.tree.leaves(outs)[0])
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+def marginal_ms(make_run, n_lo=4, n_hi=16, reps=5):
+    """Marginal ms per iteration from two scan lengths inside one jit.
+
+    Per-call timing is dominated by the relay's ~30-55 ms FIXED
+    dispatch+fetch cost — round 1's sweep measured "parity" that was
+    actually a 15-27% XLA win device-side (PERF.md round-2 correction).
+    The slope between two iteration counts cancels the fixed cost."""
+    per = {}
+    for n in (n_lo, n_hi):
+        np.asarray(make_run(n))
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(make_run(n))
+            ts.append(time.perf_counter() - t0)
+        per[n] = float(np.median(ts))
+    return (per[n_hi] - per[n_lo]) / (n_hi - n_lo) * 1000
 
 
 def main() -> None:
@@ -64,14 +70,24 @@ def main() -> None:
         for name, op in (("fused", fused_linear_ce),
                          ("xla", fused_linear_ce_xla)):
             # grads wrt h, w, b — what the train step needs
-            fn = jax.jit(jax.value_and_grad(
-                lambda hh, ww, bb: op(hh, ww, bb, labels, weights),
-                argnums=(0, 1, 2)))
-            dt = time_fn(fn, (h, w, b), args.iters)
+            import functools
+
+            @functools.partial(jax.jit, static_argnames=("steps",))
+            def run(h, w, b, steps, op=op):
+                def body(carry, _):
+                    hh, ww = carry
+                    loss, (dh, dw, db) = jax.value_and_grad(
+                        lambda a, c, d: op(a, c, d, labels, weights),
+                        argnums=(0, 1, 2))(hh, ww, b)
+                    return (hh - 1e-9 * dh, ww - 1e-9 * dw), loss
+                _, losses = jax.lax.scan(body, (h, w), None, length=steps)
+                return losses[-1]
+
+            ms = marginal_ms(lambda n: run(h, w, b, n))
             print(json.dumps({
                 "impl": name, "rows": M, "H": H, "V": V,
-                "ms": round(dt * 1e3, 2),
-                "rows_per_sec": round(M / dt, 0),
+                "marginal_ms": round(ms, 2),
+                "rows_per_sec": round(M / (ms / 1e3), 0),
             }))
 
 
