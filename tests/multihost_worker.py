@@ -53,7 +53,41 @@ def main() -> None:
                       cluster_vectors=c_v, valid=B)
         m = trainer.run_step(batch)
         losses.append(float(m["loss"]))
-    print(json.dumps({"pid": pid, "losses": losses}), flush=True)
+
+    # ---- decode parity across the global mesh: greedy-decode a
+    # seed-deterministic feature batch sharded over all P×4 devices and
+    # reduce the tokens to one replicated checksum every process can
+    # fetch.  Greedy decode is deterministic given (params, features,
+    # rng), and batch sharding never changes per-row math, so the
+    # checksum must agree across processes AND with the single-process
+    # reference the launching test computes.
+    import jax.numpy as jnp
+    from vae_captioning_tpu.data.vocabulary import Vocabulary
+    from vae_captioning_tpu.inference import make_decode_fns
+    from vae_captioning_tpu.models.cvae import CVAEModel
+    from vae_captioning_tpu.parallel import mesh as pmesh
+
+    vocab = Vocabulary(["<BOS>", "<EOS>", "<UNK>"]
+                       + [f"w{i}" for i in range(cfg.vocab_size - 4)])
+    greedy = make_decode_fns(CVAEModel.from_config(cfg), cfg, vocab)[
+        "greedy"]
+    rngd = np.random.default_rng(99)
+    Bg = 16
+    feats = rngd.normal(size=(Bg, 4096)).astype(np.float32)
+    cv = rngd.random((Bg, 90)).astype(np.float32)
+    cv /= cv.sum(-1, keepdims=True)
+    rows = Bg // P
+    loc = slice(pid * rows, (pid + 1) * rows)
+    gfeats, gcv = pmesh.shard_batch(
+        (feats[loc], cv[loc]), trainer.mesh)
+    tokens = greedy(trainer.state.params, gfeats, gcv,
+                    jax.random.PRNGKey(3))
+    w = jnp.arange(1, Bg * tokens.shape[1] + 1,
+                   dtype=jnp.int64 if jax.config.jax_enable_x64
+                   else jnp.int32).reshape(Bg, -1)
+    checksum = int(jax.jit(lambda t: jnp.sum(t * w))(tokens))
+    print(json.dumps({"pid": pid, "losses": losses,
+                      "decode_checksum": checksum}), flush=True)
 
 
 if __name__ == "__main__":

@@ -166,10 +166,12 @@ def test_multihost_two_process_training():
         for pid in range(2)]
     outs = [p.communicate(timeout=600) for p in procs]
     results = {}
+    results_full = {}
     for p, (out, err) in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
         rec = json.loads(out.strip().splitlines()[-1])
         results[rec["pid"]] = rec["losses"]
+        results_full[rec["pid"]] = rec
     assert set(results) == {0, 1}
     # both processes compute the same global loss every step
     np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
@@ -201,6 +203,33 @@ def test_multihost_two_process_training():
         ref_losses.append(float(trainer.run_step(batch)["loss"]))
     # 2×4-device distributed must track the 8-device single-process run
     np.testing.assert_allclose(results[0], ref_losses, rtol=1e-3)
+
+    # ---- decode parity: the workers greedy-decoded a seed-deterministic
+    # batch over the GLOBAL 2×4 mesh and reduced to one checksum; both
+    # processes must agree, and the single-process 8-device run of the
+    # identical decode must produce the same tokens (decode is
+    # embarrassingly parallel — sharding never changes per-row math)
+    assert results_full[0]["decode_checksum"] == \
+        results_full[1]["decode_checksum"]
+
+    from vae_captioning_tpu.data.vocabulary import Vocabulary
+    from vae_captioning_tpu.inference import make_decode_fns
+    from vae_captioning_tpu.models.cvae import CVAEModel
+
+    vocab = Vocabulary(["<BOS>", "<EOS>", "<UNK>"]
+                       + [f"w{i}" for i in range(cfg.vocab_size - 4)])
+    greedy = make_decode_fns(CVAEModel.from_config(cfg), cfg, vocab)[
+        "greedy"]
+    rngd = np.random.default_rng(99)
+    Bg = 16
+    feats = rngd.normal(size=(Bg, 4096)).astype(np.float32)
+    c_v = rngd.random((Bg, 90)).astype(np.float32)
+    c_v /= c_v.sum(-1, keepdims=True)
+    tokens = greedy(trainer.state.params, jnp.asarray(feats),
+                    jnp.asarray(c_v), jax.random.PRNGKey(3))
+    w = np.arange(1, tokens.size + 1).reshape(tokens.shape)
+    ref_checksum = int(np.sum(np.asarray(tokens) * w))
+    assert results_full[0]["decode_checksum"] == ref_checksum
 
 
 def test_sharded_beam_decode_matches_unsharded():
