@@ -202,3 +202,43 @@ def test_metric_logger(tmp_path):
     assert len(lines) == 2
     rec = json.loads(lines[1])
     assert rec["step"] == 2 and rec["loss"] == 1.2
+
+
+# ---------------------------------------------------------------- ROUGE-L
+
+def test_rouge_l_perfect_match():
+    from vae_captioning_tpu.eval.scorers import rouge_l
+    h = {"1": "the cat sat on the mat"}
+    r = {"1": ["the cat sat on the mat"]}
+    assert rouge_l(h, r) == pytest.approx(1.0)
+
+
+def test_rouge_l_hand_derived():
+    """p = r = 3/4 → F_β = 3/4 regardless of β (p == r cancels it);
+    and max-precision / max-recall may come from DIFFERENT references
+    (pycocoevalcap Rouge.calc_score semantics)."""
+    from vae_captioning_tpu.eval.scorers import rouge_l
+    assert rouge_l({"1": "a b c d"}, {"1": ["a c d e"]}) == \
+        pytest.approx(0.75)
+    # ref1: p=1, r=3/7; ref2: p=2/3, r=2/3 → max p=1, max r=2/3
+    beta = 1.2
+    p, r = 1.0, 2.0 / 3.0
+    want = ((1 + beta ** 2) * p * r) / (r + beta ** 2 * p)
+    got = rouge_l({"1": "a b c"}, {"1": ["a b c x x x x", "a z c"]})
+    assert got == pytest.approx(want)
+
+
+def test_rouge_l_in_json_scores(tmp_path):
+    import json
+    from vae_captioning_tpu.eval.scorers import score_captions_json
+    res = [{"image_id": 1, "caption": "a dog runs in the park"}]
+    gt = {"annotations": [
+        {"image_id": 1, "caption": "a dog runs in the park."},
+        {"image_id": 1, "caption": "the dog is running outside"}]}
+    rp = tmp_path / "res.json"
+    gp = tmp_path / "gt.json"
+    rp.write_text(json.dumps(res))
+    gp.write_text(json.dumps(gt))
+    out = score_captions_json(str(rp), str(gp))
+    assert out["ROUGE-L"] == pytest.approx(1.0)
+    assert out["BLEU-1"] == pytest.approx(1.0)

@@ -1,4 +1,4 @@
-"""Caption quality metrics: corpus BLEU-1..4 and CIDEr-D.
+"""Caption quality metrics: corpus BLEU-1..4, ROUGE-L, and CIDEr-D.
 
 The reference delegates scoring to the external tylin/coco-caption tool
 (``README.md:47``); this module closes the loop in-repo with standard
@@ -7,9 +7,16 @@ pure-numpy implementations so a training run can report CIDEr directly.
 Algorithms follow the canonical definitions:
   * BLEU (Papineni et al. 2002): modified n-gram precision with corpus
     brevity penalty, uniform weights.
+  * ROUGE-L (Lin 2004, coco-caption variant): LCS-based F-measure with
+    β = 1.2, per-image max precision/recall over references.
   * CIDEr-D (Vedantam et al. 2015): tf-idf-weighted n-gram cosine
     similarity, n = 1..4, count clipping, gaussian length penalty
     (σ = 6), ×10 scaling.
+
+METEOR is deliberately absent: the official implementation is the
+METEOR-1.5 Java jar with WordNet synonym and paraphrase tables — a
+lookalike without those resources would produce numbers that cannot be
+compared to published ones, which is worse than no number.
 
 Inputs are whitespace-tokenized strings.  ``score_captions_json``
 normalizes both sides with ``ptb_tokenize``, which vendor-matches the
@@ -104,6 +111,43 @@ def corpus_bleu(hypotheses: Dict[str, str], references: Dict[str, List[str]],
 
 
 # ----------------------------------------------------------------------
+# ROUGE-L
+# ----------------------------------------------------------------------
+
+def _lcs_len(a: Sequence[str], b: Sequence[str]) -> int:
+    """Longest-common-subsequence length, O(len(a)·len(b))."""
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0] * (len(b) + 1)
+        for j, y in enumerate(b, 1):
+            cur[j] = prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
+        prev = cur
+    return prev[-1]
+
+
+def rouge_l(hypotheses: Dict[str, str], references: Dict[str, List[str]],
+            beta: float = 1.2) -> float:
+    """Corpus ROUGE-L: mean per-image F_β over the LCS precision/recall,
+    taking the MAX precision and MAX recall over the reference set —
+    exactly pycocoevalcap/rouge/rouge.py::Rouge.calc_score."""
+    total = 0.0
+    for key, hyp in hypotheses.items():
+        hyp_tokens = hyp.split()
+        prec, rec = [], []
+        for r in references[key]:
+            ref_tokens = r.split()
+            lcs = _lcs_len(hyp_tokens, ref_tokens)
+            prec.append(lcs / len(hyp_tokens) if hyp_tokens else 0.0)
+            rec.append(lcs / len(ref_tokens) if ref_tokens else 0.0)
+        p, r_ = max(prec, default=0.0), max(rec, default=0.0)
+        if p != 0 and r_ != 0:
+            total += ((1 + beta ** 2) * p * r_) / (r_ + beta ** 2 * p)
+    return total / max(len(hypotheses), 1)
+
+
+# ----------------------------------------------------------------------
 # CIDEr-D
 # ----------------------------------------------------------------------
 
@@ -187,6 +231,7 @@ def score_captions_json(results_json_path: str,
     refs = {k: v for k, v in refs.items() if k in hyps}
     bleu = corpus_bleu(hyps, refs)
     out = {f"BLEU-{i+1}": round(b, 4) for i, b in enumerate(bleu)}
+    out["ROUGE-L"] = round(rouge_l(hyps, refs), 4)
     out["CIDEr-D"] = round(cider_d(hyps, refs), 4)
     out["scored_images"] = len(hyps)
     if missing:
