@@ -22,11 +22,23 @@ path.  The metric line then reports
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent executable cache.  NOTE: measured ineffective through the
+# axon remote-compile service (a warm-cache fresh process still spends
+# ~7 min in the first beam_fn call: 50 s init, 26 s data upload, ~6 min
+# warmup-0/compile at batch 4096) — kept because it is free and becomes
+# useful on a standard TPU runtime where the cache does serialize.
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      ".jax_bench_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 BASELINE_PER_CHIP = 625.0  # 5000 img/s on 8 chips
 BEAM = 3

@@ -200,8 +200,50 @@ def bench_vgg16(batch=64):
     _emit("vgg16_extract", ms, batch, f"images/sec at B={batch}")
 
 
+def bench_finetune_step(batch=32, k=5, t_len=24):
+    """Raw 224² images → VGG16 → CVAE, fwd+bwd+two-group optimizer — the
+    reference's fine-tune regime at its default batch 32."""
+    from vae_captioning_tpu.config import Config
+    from vae_captioning_tpu.train import (TrainState, init_model,
+                                          make_finetune_optimizer,
+                                          make_train_step)
+
+    cfg = Config(prior="AG", use_c_v=True, fine_tune=True,
+                 fine_tune_fe=True, fine_tune_top=True)
+    cfg.vocab_size = 11500
+    model, params = init_model(cfg, jax.random.PRNGKey(0))
+    tx = make_finetune_optimizer(cfg)
+    state = TrainState.create(params, tx)
+    step = make_train_step(model, tx, cfg, donate=False)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.integers(0, 255, size=(batch, 224, 224, 3))
+                       .astype(np.float32))
+    labels = jnp.asarray(rng.integers(1, cfg.vocab_size,
+                                      size=(batch * k, t_len))
+                         .astype(np.int32))
+    dec_in = jnp.asarray(rng.integers(1, cfg.vocab_size,
+                                      size=(batch * k, t_len))
+                         .astype(np.int32))
+    lens = jnp.asarray(np.full(batch * k, t_len - 2, np.int32))
+    cv = rng.random((batch, cfg.num_clusters)).astype(np.float32)
+    cv = jnp.asarray(cv / cv.sum(-1, keepdims=True))
+    key = jax.random.PRNGKey(1)
+
+    def run(n):
+        out = None
+        for i in range(n):
+            s2, m = step(state, imgs, labels, dec_in, lens, cv,
+                         jax.random.fold_in(key, i))
+            out = m["loss"]
+        return out
+
+    ms, _ = marginal_ms(run, n_lo=2, n_hi=8)
+    _emit("finetune_step", ms, batch, f"images/sec at B={batch} K={k}")
+
+
 ALL = {"decode_step": bench_decode_step, "beam_body": bench_beam_body,
-       "train_step": bench_train_step, "vgg16": bench_vgg16}
+       "train_step": bench_train_step, "vgg16": bench_vgg16,
+       "finetune_step": bench_finetune_step}
 
 
 def main(argv=None):
