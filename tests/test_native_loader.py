@@ -38,7 +38,7 @@ def test_native_gather_matches_numpy(packed):
     names = list(index)[::-1][:7]  # reversed order, odd count
     a = native.get_batch(names)
     b = fallback.get_batch(names)
-    assert a.shape == (7, 64, 64, 3) and a.dtype == np.float32
+    assert a.shape == (7, 64, 64, 3) and a.dtype == np.uint8
     np.testing.assert_array_equal(a, b)
     native.close()
 

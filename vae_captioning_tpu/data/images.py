@@ -65,7 +65,9 @@ class Hdf5ImageStore:
         data = self.images[sorted_rows]
         out = np.empty_like(data)
         out[order] = data
-        return out.astype(np.float32)
+        # uint8 through host batching and the device transfer (4× less
+        # traffic); VGG16 casts on device (models/vgg16.py:50)
+        return out
 
     def close(self) -> None:
         self._h5.close()

@@ -134,6 +134,14 @@ class RawImageStore:
             dtype=np.int64)
 
     def get_batch(self, filenames: Sequence[str]) -> np.ndarray:
+        """Gather images as uint8 [B, H, W, 3].
+
+        uint8, not float32: raw pixels stay 1 byte/channel through host
+        batching AND the host→device transfer (4× less traffic — the
+        transfer dominated the fine-tune step at 19 MB/step f32,
+        benchmarks/bench_finetune_io.py); VGG16 casts to its compute
+        dtype on device (models/vgg16.py:50), where the uint8→bf16 cast
+        of [0, 255] integers is value-identical to float32→bf16."""
         rows = self._rows(filenames)
         if self._lib is not None:
             out = np.empty((len(rows), *self.record_shape), np.uint8)
@@ -143,8 +151,8 @@ class RawImageStore:
                 len(rows), out.ctypes.data_as(ctypes.c_void_p))
             if rc != 0:
                 raise RuntimeError(f"bl_gather failed with code {rc}")
-            return out.astype(np.float32)
-        return np.asarray(self._mm[rows], dtype=np.float32)
+            return out
+        return np.asarray(self._mm[rows])
 
     def prefetch(self, filenames: Sequence[str]) -> None:
         """Warm the page cache for an upcoming batch (no-op on fallback)."""

@@ -296,7 +296,15 @@ class Trainer:
         return mesh_lib.shard_batch(arrays, self.mesh, self.cfg.mesh_axis)
 
     def run_step(self, batch: Batch) -> Dict[str, float]:
-        features, enc, dec, lengths, c_v = self._device_batch(batch)
+        return self.run_step_arrays(self._device_batch(batch))
+
+    def run_step_arrays(self, arrays) -> Dict[str, float]:
+        """One step on already-device-put sharded arrays (the fit loop
+        moves ``_device_batch`` onto the prefetch thread so the host→
+        device transfer of batch t+1 overlaps step t's compute — at
+        fine-tune shapes the raw-image upload otherwise serializes with
+        the step, benchmarks/bench_finetune_io.py)."""
+        features, enc, dec, lengths, c_v = arrays
         self.state, metrics = self.train_step(
             self.state, features, enc, dec, lengths, c_v, self._rng)
         self.host_step += 1
@@ -334,13 +342,17 @@ class Trainer:
             while seen <= cfg.num_ex_per_epoch:
                 epoch_batches = 0
                 batches = train_batcher.train_batches(cfg.num_captions)
+                # device transfers ride the prefetch thread too: batch
+                # t+1 is assembled AND device_put while step t runs
+                stream = ((self._device_batch(b), b.batch_size)
+                          for b in batches)
                 if cfg.prefetch_batches > 0:
                     from vae_captioning_tpu.utils.prefetch import Prefetcher
-                    batches = Prefetcher(batches, cfg.prefetch_batches)
-                for batch in batches:
+                    stream = Prefetcher(stream, cfg.prefetch_batches)
+                for arrays, bsize in stream:
                     epoch_batches += 1
-                    m = self.run_step(batch)
-                    seen += batch.batch_size
+                    m = self.run_step_arrays(arrays)
+                    seen += bsize
                     step = self.host_step
                     if cfg.profile:  # steps 10-20 → Perfetto trace
                         if step == 10 and not profiling:
@@ -378,8 +390,8 @@ class Trainer:
                         # no device sync, the write drains in background
                         checkpointer.save(self.state, step=step)
                     if seen > cfg.num_ex_per_epoch:
-                        if hasattr(batches, "close"):
-                            batches.close()  # stop the prefetch thread
+                        if hasattr(stream, "close"):
+                            stream.close()  # stop the prefetch thread
                         break
                 if epoch_batches == 0:
                     raise ValueError(
