@@ -37,19 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def marginal_ms(fn, n_lo: int = 30, n_hi: int = 120, reps: int = 5):
-    """Median wall time of fn(steps=n) at two n; return (slope ms/iter,
-    call ms at n_lo)."""
-    per = {}
-    for n in (n_lo, n_hi):
-        np.asarray(fn(n))            # compile + force through the relay
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            np.asarray(fn(n))
-            ts.append(time.perf_counter() - t0)
-        per[n] = float(np.median(ts))
-    return (per[n_hi] - per[n_lo]) / (n_hi - n_lo) * 1000, per[n_lo] * 1000
+from timing_util import marginal_ms  # noqa: E402 (after sys.path insert)
 
 
 def _emit(component, ms_per_iter, unit_count, unit):

@@ -29,23 +29,7 @@ H = 512
 V = 11500
 
 
-def marginal_ms(make_run, n_lo=4, n_hi=16, reps=5):
-    """Marginal ms per iteration from two scan lengths inside one jit.
-
-    Per-call timing is dominated by the relay's ~30-55 ms FIXED
-    dispatch+fetch cost — round 1's sweep measured "parity" that was
-    actually a 15-27% XLA win device-side (PERF.md round-2 correction).
-    The slope between two iteration counts cancels the fixed cost."""
-    per = {}
-    for n in (n_lo, n_hi):
-        np.asarray(make_run(n))
-        ts = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            np.asarray(make_run(n))
-            ts.append(time.perf_counter() - t0)
-        per[n] = float(np.median(ts))
-    return (per[n_hi] - per[n_lo]) / (n_hi - n_lo) * 1000
+from timing_util import marginal_ms  # noqa: E402 (shared two-point slope helper)
 
 
 def main() -> None:
@@ -83,7 +67,7 @@ def main() -> None:
                 _, losses = jax.lax.scan(body, (h, w), None, length=steps)
                 return losses[-1]
 
-            ms = marginal_ms(lambda n: run(h, w, b, n))
+            ms, _ = marginal_ms(lambda n: run(h, w, b, n), n_lo=4, n_hi=16)
             print(json.dumps({
                 "impl": name, "rows": M, "H": H, "V": V,
                 "marginal_ms": round(ms, 2),

@@ -60,17 +60,24 @@ def main() -> None:
     # fetch.  Greedy decode is deterministic given (params, features,
     # rng), and batch sharding never changes per-row math, so the
     # checksum must agree across processes AND with the single-process
-    # reference the launching test computes.
+    # reference the launching test computes.  Decode uses FRESH
+    # seed-deterministic params (not the trained ones): Gloo vs XLA
+    # reduction order makes trained params drift ~1e-5, and argmax is
+    # discontinuous — exact token equality is only guaranteed for
+    # identical params.
     import jax.numpy as jnp
     from vae_captioning_tpu.data.vocabulary import Vocabulary
     from vae_captioning_tpu.inference import make_decode_fns
     from vae_captioning_tpu.models.cvae import CVAEModel
     from vae_captioning_tpu.parallel import mesh as pmesh
+    from vae_captioning_tpu.train import init_model
 
     vocab = Vocabulary(["<BOS>", "<EOS>", "<UNK>"]
                        + [f"w{i}" for i in range(cfg.vocab_size - 4)])
     greedy = make_decode_fns(CVAEModel.from_config(cfg), cfg, vocab)[
         "greedy"]
+    _, decode_params = init_model(cfg, jax.random.PRNGKey(cfg.seed))
+    decode_params = pmesh.replicate(decode_params, trainer.mesh)
     rngd = np.random.default_rng(99)
     Bg = 16
     feats = rngd.normal(size=(Bg, 4096)).astype(np.float32)
@@ -80,8 +87,7 @@ def main() -> None:
     loc = slice(pid * rows, (pid + 1) * rows)
     gfeats, gcv = pmesh.shard_batch(
         (feats[loc], cv[loc]), trainer.mesh)
-    tokens = greedy(trainer.state.params, gfeats, gcv,
-                    jax.random.PRNGKey(3))
+    tokens = greedy(decode_params, gfeats, gcv, jax.random.PRNGKey(3))
     w = jnp.arange(1, Bg * tokens.shape[1] + 1,
                    dtype=jnp.int64 if jax.config.jax_enable_x64
                    else jnp.int32).reshape(Bg, -1)

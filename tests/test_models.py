@@ -277,3 +277,22 @@ def test_gen_z_embedding_matches_full_draw_distribution():
     old_cov = np.cov((old - want_mean).T)
     np.testing.assert_allclose(old_cov / scale, want_cov / scale,
                                atol=0.12)
+
+
+def test_vgg16_uint8_input_matches_float32():
+    """The packed image stores ship uint8 pixels; VGG16 must subtract
+    the ImageNet mean in float, NOT in the input dtype (uint8 wrap
+    turned black pixels into +133 — caught in round-2 review)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vae_captioning_tpu.models.vgg16 import VGG16
+
+    model = VGG16(trainable_top=False, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    imgs_u8 = rng.integers(0, 255, size=(2, 32, 32, 3), dtype=np.uint8)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.asarray(imgs_u8, jnp.float32))
+    a = model.apply(params, jnp.asarray(imgs_u8))                 # uint8
+    b = model.apply(params, jnp.asarray(imgs_u8, jnp.float32))    # f32
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -220,12 +220,17 @@ def test_multihost_two_process_training():
                        + [f"w{i}" for i in range(cfg.vocab_size - 4)])
     greedy = make_decode_fns(CVAEModel.from_config(cfg), cfg, vocab)[
         "greedy"]
+    # same FRESH seed-deterministic params as the workers (trained
+    # params drift between Gloo and XLA reduction orders; argmax is
+    # discontinuous, so exact equality needs identical params)
+    from vae_captioning_tpu.train import init_model
+    _, decode_params = init_model(cfg, jax.random.PRNGKey(cfg.seed))
     rngd = np.random.default_rng(99)
     Bg = 16
     feats = rngd.normal(size=(Bg, 4096)).astype(np.float32)
     c_v = rngd.random((Bg, 90)).astype(np.float32)
     c_v /= c_v.sum(-1, keepdims=True)
-    tokens = greedy(trainer.state.params, jnp.asarray(feats),
+    tokens = greedy(decode_params, jnp.asarray(feats),
                     jnp.asarray(c_v), jax.random.PRNGKey(3))
     w = np.arange(1, tokens.size + 1).reshape(tokens.shape)
     ref_checksum = int(np.sum(np.asarray(tokens) * w))

@@ -92,8 +92,11 @@ class Encoder(nn.Module):
             # scalar memory (profiled ~66 µs per gather in the decode
             # loop); the masked sum is exact — one factor is 0/1
             oh = jax.nn.one_hot(cluster, K, dtype=means.dtype)   # [B, K]
-            mean = jnp.einsum("bk,bkl->bl", oh, means)
-            std = jnp.einsum("bk,bkl->bl", oh, stds)
+            # HIGHEST precision: the 0/1 contraction is then exact (TPU
+            # default precision would round the heads to bf16)
+            hi = jax.lax.Precision.HIGHEST
+            mean = jnp.einsum("bk,bkl->bl", oh, means, precision=hi)
+            std = jnp.einsum("bk,bkl->bl", oh, stds, precision=hi)
             return mean, std
 
         # AG: convex combination by the cluster weights (ref :105-107)

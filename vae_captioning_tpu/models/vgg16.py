@@ -46,7 +46,11 @@ class VGG16(nn.Module):
 
     @nn.compact
     def __call__(self, images: jax.Array, deterministic: bool = True) -> jax.Array:
-        x = images - jnp.asarray(_IMAGENET_MEAN, images.dtype)
+        # subtract in f32 regardless of input dtype: uint8 images (the
+        # packed stores ship raw pixels) must NOT wrap modulo 256, and
+        # f32 images keep the pre-round subtraction this always had
+        x = images.astype(jnp.float32) - jnp.asarray(_IMAGENET_MEAN,
+                                                     jnp.float32)
         x = x.astype(self.compute_dtype)
         for block in _CONV_BLOCKS:
             for name, features in block:

@@ -152,8 +152,13 @@ def _gather_beams(tree: Any, beam_idx: jax.Array, B: int, beam: int) -> Any:
     def gather(leaf):
         x = leaf.reshape(B, beam, *leaf.shape[1:])
         if jnp.issubdtype(leaf.dtype, jnp.floating) and x.ndim == 3:
-            out = jnp.einsum("bkp,bph->bkh", oh,
-                             x.astype(jnp.float32)).astype(leaf.dtype)
+            # HIGHEST precision: TPU's default matmul precision rounds
+            # f32 operands to bf16, which would re-round the carried
+            # LSTM cell state every beam step; with full precision the
+            # 0/1 one-hot contraction is exact
+            out = jnp.einsum("bkp,bph->bkh", oh, x.astype(jnp.float32),
+                             precision=jax.lax.Precision.HIGHEST
+                             ).astype(leaf.dtype)
         else:
             idx = beam_idx.reshape(B, beam, *([1] * (x.ndim - 2)))
             out = jnp.take_along_axis(x, idx.astype(jnp.int32), axis=1)
