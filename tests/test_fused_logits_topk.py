@@ -118,3 +118,60 @@ def test_fused_tie_break_earliest_column(interpreted):
     np.testing.assert_array_equal(np.asarray(i[0]),
                                   np.asarray([5, 700, 2900, 130, 131]))
     np.testing.assert_allclose(np.asarray(v), np.asarray(v2), rtol=1e-5)
+
+
+# ---------------------------------------------------------------- int8
+
+@pytest.mark.parametrize("shape_k", [
+    ((256, 64, 3840), 3),
+    ((300, 128, 4000), 5),
+])
+def test_int8_kernel_matches_int8_xla(interpreted_int8, shape_k):
+    """The int8 kernel must reproduce its XLA reference exactly (same
+    quantized math; only the tile folding is kernel-side)."""
+    (M, H, V), k = shape_k
+    rng = np.random.default_rng(M + k)
+    h = jnp.asarray(rng.normal(size=(M, H)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(H, V)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(V,)).astype(np.float32))
+    wq, ws = fl.quantize_logits_weights(w)
+    v1, i1, l1 = interpreted_int8(h, wq, ws, b, k)
+    v2, i2, l2 = fl.fused_logits_top_k_int8_xla(h, wq, ws, b, k)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-4)
+
+
+@pytest.fixture()
+def interpreted_int8(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*args, **kwargs):
+        kwargs["interpret"] = True
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(fl.pl, "pallas_call", patched)
+    yield fl.fused_logits_top_k_int8.__wrapped__
+
+
+def test_int8_agreement_with_exact_path():
+    """Quantization is approximate by design; on a random logits head
+    the int8 top-1 must agree with the exact path wherever the top-2
+    margin exceeds the quantization error bound, and overall top-1
+    agreement should be high."""
+    M, H, V, k = 128, 64, 1000, 3
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.normal(size=(M, H)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.5, size=(H, V)).astype(np.float32))
+    b = jnp.zeros((V,), jnp.float32)
+    exact_v, exact_i, _ = fl.fused_logits_top_k_xla(h, w, b, 2)
+    wq, ws = fl.quantize_logits_weights(w)
+    q_v, q_i, _ = fl.fused_logits_top_k_int8_xla(h, wq, ws, b, k)
+    agree = np.asarray(exact_i[:, 0]) == np.asarray(q_i[:, 0])
+    # error bound: |Δlogit| ≤ |h|₁-weighted quantization steps; use an
+    # empirical proxy — where the exact top-2 margin is large, must agree
+    margin = np.asarray(exact_v[:, 0] - exact_v[:, 1])
+    big_margin = margin > 0.05 * np.abs(np.asarray(exact_v[:, 0]))
+    assert agree[big_margin].all(), "int8 flipped a well-separated top-1"
+    assert agree.mean() > 0.9, f"top-1 agreement only {agree.mean():.2f}"

@@ -117,6 +117,12 @@ class Config:
                                 # one Pallas kernel; effective only with
                                 # fused_decode on TPU, 1 decoder layer,
                                 # bfloat16 compute
+    decode_int8: bool = False   # APPROXIMATE: int8-quantized logits
+                                # matmul in beam/greedy decode (2× MXU
+                                # on v5e); top-K can differ where logit
+                                # margins are under the ~1% quantization
+                                # error — opt in after checking quality
+                                # on your data (see PERF.md)
     multihost: bool = False     # jax.distributed.initialize() at startup
                                 # (multi-host DCN training; mesh spans all
                                 # processes' devices)

@@ -75,16 +75,27 @@ def make_decode_fns(model, cfg: Config, vocab: Vocabulary):
 
         return carry, step_fn
 
+    def _topk_caller(params, k):
+        """(h) → (vals, idx, lse) over the logits head; int8-quantized
+        when Config.decode_int8 (approximate — documented there)."""
+        w, b = logits_head_params(params)
+        if cfg.decode_int8:
+            from vae_captioning_tpu.ops.fused_logits_topk import (
+                fused_logits_top_k_int8, quantize_logits_weights)
+            wq, ws = quantize_logits_weights(w)
+            return lambda h: fused_logits_top_k_int8(h, wq, ws, b, k)
+        from vae_captioning_tpu.ops.fused_logits_topk import fused_logits_top_k
+        return lambda h: fused_logits_top_k(h, w, b, k)
+
     def _step_topk_fn(params, k):
         """Fused decode step: LSTM → one Pallas kernel for
         logits+top-K+logsumexp (no [N, V] logits in HBM)."""
-        from vae_captioning_tpu.ops.fused_logits_topk import fused_logits_top_k
-        w, b = logits_head_params(params)
+        topk = _topk_caller(params, k)
         hidden_step = _hidden_step_fn(params)
 
         def fn(carry, tokens):
             carry, h = hidden_step(carry, tokens)
-            vals, idx, lse = fused_logits_top_k(h, w, b, k)
+            vals, idx, lse = topk(h)
             return carry, vals, idx, lse
 
         return fn
@@ -116,13 +127,12 @@ def make_decode_fns(model, cfg: Config, vocab: Vocabulary):
 
     def _step_argmax_fn(params):
         """Greedy fast path: argmax = fused top-1, logits never in HBM."""
-        from vae_captioning_tpu.ops.fused_logits_topk import fused_logits_top_k
-        w, b = logits_head_params(params)
+        topk = _topk_caller(params, 1)
         hidden_step = _hidden_step_fn(params)
 
         def fn(carry, tokens):
             carry, h = hidden_step(carry, tokens)
-            _, idx, _ = fused_logits_top_k(h, w, b, 1)
+            _, idx, _ = topk(h)
             return carry, idx[:, 0]
 
         return fn

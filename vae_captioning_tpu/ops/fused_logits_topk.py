@@ -36,21 +36,40 @@ _BM = 256     # rows per block
 
 def _vocab_tile(k: int) -> int:
     """Vocab tile width (multiple of 128).  Larger k needs more VMEM for
-    the extraction loop's working copies, so shrink the tile."""
+    the extraction loop's working copies, so shrink the tile.  (2944 was
+    tried when a surrounding program pushed the kernel 4% over the
+    DEFAULT 16 MB scoped-VMEM limit — it measured 47% slower from the
+    extra per-tile overheads; the right fix is raising the limit, see
+    _VMEM_LIMIT.)"""
     return 3840 if k <= 4 else 1920
+
+
+# The default scoped-VMEM limit is 16 MiB and the k≤4 configuration
+# (double-buffered [H, 3840] weight tile + f32 tile + extraction work
+# copies) sits right at it — some surrounding programs tip it a few
+# percent over and fail to compile.  17 MiB restores headroom and
+# measures at parity with the unlimited default (0.857 vs 0.842 ms/step
+# at M=6144, k=3); the limit VALUE is not speed-sensitive (17 ≈ 32).
+_VMEM_LIMIT = 17 * 1024 * 1024
 _NEG = -1e30  # plain float: jnp scalars can't be captured by the kernel
 
 
-def _kernel(h_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref,
-            rv_scratch, ri_scratch, ms_scratch,
-            *, k: int, v_real: int, bv: int):
-    # Running state is stored TRANSPOSED — [k, Mp] / [2, Mp] — so the
-    # lane (128-wide) dimension spans rows and the scratch costs
-    # ~k·Mp·4 bytes instead of Mp·128·4 per array (which OOMs VMEM).
-    j = pl.program_id(0)          # vocab tile (outer)
-    i = pl.program_id(1)          # row block (inner)
+def _fold_tile(tile_fn, BM, j, i, vals_ref, idx_ref, lse_ref,
+               rv_scratch, ri_scratch, ms_scratch,
+               *, k: int, v_real: int, bv: int):
+    """Init running state, compute one logits tile (``tile_fn``), fold it
+    into the running top-K + online-lse state, publish on the last vocab
+    tile — shared by the bf16 and int8 kernels.
+
+    ``tile_fn`` is called AFTER the j==0 scratch init: initializing
+    after the matmul (an earlier refactor) kept the tile live across the
+    init stores — Mosaic's schedule regressed 34% and scoped VMEM grew
+    past the 16 MB default limit.
+
+    Running state is stored TRANSPOSED — [k, Mp] / [2, Mp] — so the
+    lane (128-wide) dimension spans rows and the scratch costs
+    ~k·Mp·4 bytes instead of Mp·128·4 per array (which OOMs VMEM)."""
     n_v = pl.num_programs(0)
-    BM = h_ref.shape[0]
     cols = pl.ds(i * BM, BM)
 
     @pl.when(j == 0)
@@ -60,10 +79,7 @@ def _kernel(h_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref,
         ms_scratch[0:1, cols] = jnp.full((1, BM), _NEG)   # running max
         ms_scratch[1:2, cols] = jnp.zeros((1, BM))        # running exp-sum
 
-    # ---- logits tile on the MXU (bf16 × bf16 → f32)
-    tile = jax.lax.dot_general(
-        h_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + b_ref[0, :][None, :]
+    tile = tile_fn()
     col = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1) + j * bv
     tile = jnp.where(col < v_real, tile, _NEG)       # mask vocab padding
 
@@ -125,6 +141,44 @@ def _kernel(h_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref,
                          + jnp.log(ms_scratch[1:2, cols])).T
 
 
+def _kernel(h_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref,
+            rv_scratch, ri_scratch, ms_scratch,
+            *, k: int, v_real: int, bv: int):
+    j = pl.program_id(0)          # vocab tile (outer)
+    i = pl.program_id(1)          # row block (inner)
+
+    def tile_fn():
+        # ---- logits tile on the MXU (bf16 × bf16 → f32)
+        return jax.lax.dot_general(
+            h_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + b_ref[0, :][None, :]
+
+    _fold_tile(tile_fn, h_ref.shape[0], j, i, vals_ref, idx_ref, lse_ref,
+               rv_scratch, ri_scratch, ms_scratch,
+               k=k, v_real=v_real, bv=bv)
+
+
+def _kernel_int8(hq_ref, hs_ref, wq_ref, ws_ref, b_ref,
+                 vals_ref, idx_ref, lse_ref,
+                 rv_scratch, ri_scratch, ms_scratch,
+                 *, k: int, v_real: int, bv: int):
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+
+    def tile_fn():
+        # ---- int8 MXU tile (2× bf16 on v5e): int8 × int8 → i32,
+        # dequantized by per-row (activation) / per-column (weight) scales
+        acc = jax.lax.dot_general(
+            hq_ref[:], wq_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return (acc.astype(jnp.float32) * hs_ref[:, 0:1]
+                * ws_ref[0, :][None, :] + b_ref[0, :][None, :])
+
+    _fold_tile(tile_fn, hq_ref.shape[0], j, i, vals_ref, idx_ref, lse_ref,
+               rv_scratch, ri_scratch, ms_scratch,
+               k=k, v_real=v_real, bv=bv)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def fused_logits_top_k(h: jax.Array, w: jax.Array, b: jax.Array, k: int
                        ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -180,8 +234,113 @@ def fused_logits_top_k(h: jax.Array, w: jax.Array, b: jax.Array, k: int
             flops=2 * Mp * H * Vp + Mp * Vp * (k + 2),
             bytes_accessed=(Mp * H * 2 * n_v + H * Vp * 2 + Mp * k * 8),
             transcendentals=Mp * Vp),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(h16, w16, b.astype(jnp.float32).reshape(1, -1))
     return vals[:M], idx[:M], lse[:M, 0]
+
+
+def quantize_logits_weights(w: jax.Array
+                            ) -> Tuple[jax.Array, jax.Array]:
+    """Per-output-column symmetric int8 quantization of the logits head:
+    wq[i, j] = round(w[i, j] / ws[j]), ws[j] = max_i |w[i, j]| / 127.
+    Computed ONCE per decode-fn build (Config.decode_int8)."""
+    ws = jnp.max(jnp.abs(w), axis=0) / 127.0
+    ws = jnp.maximum(ws, 1e-12)
+    wq = jnp.clip(jnp.round(w / ws[None, :]), -127, 127).astype(jnp.int8)
+    return wq, ws.astype(jnp.float32)
+
+
+def _quantize_rows(h: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Dynamic per-row symmetric int8 quantization of the activations."""
+    hs = jnp.max(jnp.abs(h), axis=1, keepdims=True) / 127.0
+    hs = jnp.maximum(hs, 1e-12)
+    hq = jnp.clip(jnp.round(h / hs), -127, 127).astype(jnp.int8)
+    return hq, hs.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def fused_logits_top_k_int8(h: jax.Array, wq: jax.Array, ws: jax.Array,
+                            b: jax.Array, k: int
+                            ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Quantized variant of ``fused_logits_top_k``: int8 MXU matmul (2×
+    bf16 throughput on v5e), dequantized per tile, same exact top-K +
+    online-lse folding.  APPROXIMATE — top-K selection can differ from
+    the bf16 path where logit margins are below the ~1% quantization
+    error (Config.decode_int8, default off; agreement measured in
+    tests/test_fused_logits_topk.py and PERF.md).
+
+    ``wq``/``ws`` come from ``quantize_logits_weights``; ``h`` is
+    quantized per row on the fly."""
+    M, H = h.shape
+    V = wq.shape[1]
+    bv = max(_vocab_tile(k), 128 * k)
+    hq, hs = _quantize_rows(h.astype(jnp.float32))
+    v_pad = (-V) % bv
+    if v_pad:
+        wq = jnp.pad(wq, ((0, 0), (0, v_pad)))
+        ws = jnp.pad(ws, (0, v_pad))
+        b = jnp.pad(b, (0, v_pad))
+    m_pad = (-M) % _BM
+    if m_pad:
+        hq = jnp.pad(hq, ((0, m_pad), (0, 0)))
+        hs = jnp.pad(hs, ((0, m_pad), (0, 0)))
+    Mp = hq.shape[0]
+    Vp = wq.shape[1]
+    n_v, n_m = Vp // bv, Mp // _BM
+
+    vals, idx, lse = pl.pallas_call(
+        functools.partial(_kernel_int8, k=k, v_real=V, bv=bv),
+        grid=(n_v, n_m),
+        in_specs=[
+            pl.BlockSpec((_BM, H), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BM, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, bv), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bv), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bv), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_BM, k), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BM, k), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BM, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Mp, k), jnp.float32),
+            jax.ShapeDtypeStruct((Mp, k), jnp.int32),
+            jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((k, Mp), jnp.float32),
+            pltpu.VMEM((k, Mp), jnp.int32),
+            pltpu.VMEM((2, Mp), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * H * Vp + Mp * Vp * (k + 2),
+            bytes_accessed=(Mp * H * n_v + H * Vp + Mp * k * 8),
+            transcendentals=Mp * Vp),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(hq, hs, wq, ws.reshape(1, -1),
+      b.astype(jnp.float32).reshape(1, -1))
+    return vals[:M], idx[:M], lse[:M, 0]
+
+
+def fused_logits_top_k_int8_xla(h, wq, ws, b, k):
+    """Reference implementation with identical quantized math."""
+    hq, hs = _quantize_rows(h.astype(jnp.float32))
+    acc = jax.lax.dot_general(
+        hq, wq, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    logits = acc.astype(jnp.float32) * hs * ws[None, :] + b[None, :]
+    vals, idx = jax.lax.top_k(logits, k)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    return vals, idx, lse
 
 
 def _sample_kernel(seed_ref, h_ref, w_ref, b_ref, tok_ref, rm_scratch,
