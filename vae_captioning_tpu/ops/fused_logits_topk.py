@@ -431,6 +431,7 @@ def fused_logits_sample(h: jax.Array, w: jax.Array, b: jax.Array,
             pltpu.VMEM((1, Mp), jnp.float32),   # running max (T)
             pltpu.VMEM((1, Mp), jnp.int32),     # running argmax (T)
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(seed.reshape(1).astype(jnp.int32), h16, w16,
       b.astype(jnp.float32).reshape(1, -1))
     return tokens[:M, 0]

@@ -312,11 +312,15 @@ class Trainer:
 
     def validate(self, batcher) -> float:
         # dispatch every batch first (async), fetch scalars after — no
-        # per-batch device sync serializing the sweep
+        # per-batch device sync serializing the sweep; batch assembly +
+        # device_put ride the prefetch thread like the fit loop
+        stream = (self._device_batch(b) for b in batcher.eval_batches(
+            num_captions=self.cfg.num_captions, with_ids=False))
+        if self.cfg.prefetch_batches > 0:
+            from vae_captioning_tpu.utils.prefetch import Prefetcher
+            stream = Prefetcher(stream, self.cfg.prefetch_batches)
         vals = []
-        for batch in batcher.eval_batches(num_captions=self.cfg.num_captions,
-                                          with_ids=False):
-            features, enc, dec, lengths, c_v = self._device_batch(batch)
+        for features, enc, dec, lengths, c_v in stream:
             vals.append(self.eval_step(self.state.params, features, enc, dec,
                                        lengths, c_v, self._rng))
         return float(np.mean([float(v) for v in vals])) if vals \
