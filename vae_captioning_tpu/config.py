@@ -109,7 +109,12 @@ class Config:
     profile: bool = False       # emit jax.profiler traces
     debug_nans: bool = False
     fused_ce: bool = False      # fused linear-CE loss kernel (TPU only):
-                                # logits never materialized in HBM
+                                # a MEMORY lever — logits never
+                                # materialized in HBM — NOT a speedup:
+                                # XLA's unfused path measures 15-27%
+                                # FASTER at reference shapes (PERF.md
+                                # fused-CE table); opt in only when
+                                # B·T·V logits would not fit
     fused_decode: bool = True   # Pallas decode kernels on TPU (kill
                                 # switch for debugging: False = pure XLA)
     fused_lstm_step: bool = True  # fuse the decode LSTM step (embedding

@@ -151,7 +151,10 @@ def _gather_beams(tree: Any, beam_idx: jax.Array, B: int, beam: int) -> Any:
 
     def gather(leaf):
         x = leaf.reshape(B, beam, *leaf.shape[1:])
-        if jnp.issubdtype(leaf.dtype, jnp.floating) and x.ndim == 3:
+        # einsum only for dtypes ≤ f32: a float64 leaf (jax_enable_x64)
+        # would be silently rounded through the f32 contraction
+        if (leaf.dtype in (jnp.float32, jnp.bfloat16, jnp.float16)
+                and x.ndim == 3):
             # HIGHEST precision: TPU's default matmul precision rounds
             # f32 operands to bf16, which would re-round the carried
             # LSTM cell state every beam step; with full precision the

@@ -320,9 +320,15 @@ class Trainer:
             from vae_captioning_tpu.utils.prefetch import Prefetcher
             stream = Prefetcher(stream, self.cfg.prefetch_batches)
         vals = []
-        for features, enc, dec, lengths, c_v in stream:
-            vals.append(self.eval_step(self.state.params, features, enc, dec,
-                                       lengths, c_v, self._rng))
+        try:
+            for features, enc, dec, lengths, c_v in stream:
+                vals.append(self.eval_step(self.state.params, features, enc,
+                                           dec, lengths, c_v, self._rng))
+        finally:
+            # stop the producer thread even if eval_step raises mid-sweep;
+            # otherwise its queued device arrays pin HBM until process exit
+            if hasattr(stream, "close"):
+                stream.close()
         return float(np.mean([float(v) for v in vals])) if vals \
             else float("nan")
 
@@ -353,50 +359,54 @@ class Trainer:
                 if cfg.prefetch_batches > 0:
                     from vae_captioning_tpu.utils.prefetch import Prefetcher
                     stream = Prefetcher(stream, cfg.prefetch_batches)
-                for arrays, bsize in stream:
-                    epoch_batches += 1
-                    m = self.run_step_arrays(arrays)
-                    seen += bsize
-                    step = self.host_step
-                    if cfg.profile:  # steps 10-20 → Perfetto trace
-                        if step == 10 and not profiling:
-                            jax.profiler.start_trace(cfg.log_dir)
-                            profiling = True
-                        elif step == 20 and profiling:
-                            jax.profiler.stop_trace()
-                            profiling = False
-                            print(f"profiler trace written to {cfg.log_dir}")
-                            try:  # in-repo op-cost summary (utils/xplane)
-                                from vae_captioning_tpu.utils import xplane
-                                agg = xplane.aggregate(cfg.log_dir)
-                                rep = xplane.format_report(
-                                    agg, top=10, plane_filter="device:")
-                                # CPU-only traces have no device plane
-                                print(rep or xplane.format_report(agg, 10))
-                            except Exception as e:  # summary is best-effort
-                                print(f"(xplane summary unavailable: {e})")
-                    if step % log_every == 0:
-                        metrics = {k: float(np.mean(v)) for k, v in m.items()}
-                        rate = seen / max(time.time() - t0, 1e-9)
-                        print(f"Epoch: {epoch} Iteration: {step} "
-                              f"VLB: {metrics['loss']:.4f} "
-                              f"Rec Loss: {metrics['rec_loss']:.4f} "
-                              f"KLD: {metrics['kld']:.4f} "
-                              f"Annealing: {metrics['annealing']:.3f} "
-                              f"({rate:.1f} ex/s)")
-                        if logger is not None:
-                            logger.log(step, metrics, epoch=epoch,
-                                       examples_per_sec=round(rate, 1))
-                    if (checkpointer is not None
-                            and cfg.ckpt_every_steps > 0
-                            and step % cfg.ckpt_every_steps == 0):
-                        # async mid-epoch save keyed by the host step —
-                        # no device sync, the write drains in background
-                        checkpointer.save(self.state, step=step)
-                    if seen > cfg.num_ex_per_epoch:
-                        if hasattr(stream, "close"):
-                            stream.close()  # stop the prefetch thread
-                        break
+                try:
+                    for arrays, bsize in stream:
+                        epoch_batches += 1
+                        m = self.run_step_arrays(arrays)
+                        seen += bsize
+                        step = self.host_step
+                        if cfg.profile:  # steps 10-20 → Perfetto trace
+                            if step == 10 and not profiling:
+                                jax.profiler.start_trace(cfg.log_dir)
+                                profiling = True
+                            elif step == 20 and profiling:
+                                jax.profiler.stop_trace()
+                                profiling = False
+                                print(f"profiler trace written to {cfg.log_dir}")
+                                try:  # in-repo op-cost summary (utils/xplane)
+                                    from vae_captioning_tpu.utils import xplane
+                                    agg = xplane.aggregate(cfg.log_dir)
+                                    rep = xplane.format_report(
+                                        agg, top=10, plane_filter="device:")
+                                    # CPU-only traces have no device plane
+                                    print(rep or xplane.format_report(agg, 10))
+                                except Exception as e:  # summary is best-effort
+                                    print(f"(xplane summary unavailable: {e})")
+                        if step % log_every == 0:
+                            metrics = {k: float(np.mean(v)) for k, v in m.items()}
+                            rate = seen / max(time.time() - t0, 1e-9)
+                            print(f"Epoch: {epoch} Iteration: {step} "
+                                  f"VLB: {metrics['loss']:.4f} "
+                                  f"Rec Loss: {metrics['rec_loss']:.4f} "
+                                  f"KLD: {metrics['kld']:.4f} "
+                                  f"Annealing: {metrics['annealing']:.3f} "
+                                  f"({rate:.1f} ex/s)")
+                            if logger is not None:
+                                logger.log(step, metrics, epoch=epoch,
+                                           examples_per_sec=round(rate, 1))
+                        if (checkpointer is not None
+                                and cfg.ckpt_every_steps > 0
+                                and step % cfg.ckpt_every_steps == 0):
+                            # async mid-epoch save keyed by the host step —
+                            # no device sync, the write drains in background
+                            checkpointer.save(self.state, step=step)
+                        if seen > cfg.num_ex_per_epoch:
+                            break
+                finally:
+                    # stop the producer thread even on a mid-epoch
+                    # exception — queued device arrays pin HBM otherwise
+                    if hasattr(stream, "close"):
+                        stream.close()
                 if epoch_batches == 0:
                     raise ValueError(
                         "train_batches yielded nothing — dataset smaller "

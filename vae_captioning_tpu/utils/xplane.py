@@ -31,7 +31,10 @@ from typing import Dict, Iterator, List, Tuple
 def _read_varint(buf: bytes, i: int) -> Tuple[int, int]:
     x = 0
     s = 0
+    n = len(buf)
     while True:
+        if i >= n:
+            raise ValueError("truncated protobuf (varint runs past buffer)")
         b = buf[i]
         i += 1
         x |= (b & 0x7F) << s
@@ -162,7 +165,11 @@ def main(argv=None) -> None:
                    help="only planes whose name contains this substring "
                         "(e.g. TPU)")
     args = p.parse_args(argv)
-    print(format_report(aggregate(args.trace), args.top, args.plane))
+    try:
+        report = format_report(aggregate(args.trace), args.top, args.plane)
+    except ValueError as e:
+        raise SystemExit(f"xplane: cannot decode {args.trace!r}: {e}")
+    print(report)
 
 
 if __name__ == "__main__":
