@@ -17,18 +17,27 @@
 #   annotations/captions_{train,val}2014.json
 #   annotations/instances_train2014.json  (cluster vectors)
 #   images/{train2014,val2014}/*.jpg
+#
+# RECIPE_EXTRA_ARGS (env, optional): extra CLI args appended to BOTH the
+# train and inference invocations — used by tests/test_recipe.py to run
+# this exact script against the synthetic mini-COCO with tiny dims
+# (e.g. "--epochs 1 --bs 4 --set embed_size=32 ...") so the eventual
+# real-data run cannot die on recipe mechanics (VERDICT r2 #1b).  Leave
+# unset for the real reference recipe.
 set -euo pipefail
 
 COCO_DIR="${1:?usage: reference_recipe.sh COCO_DIR [VGG_NPZ] [RUN_NAME]}"
 VGG_NPZ="${2:-./vgg16_weights.npz}"
 RUN="${3:-normal_cv_ref}"
+read -r -a EXTRA <<< "${RECIPE_EXTRA_ARGS:-}"
 
 # 1. train: Normal prior + cluster vectors, reference defaults
 python -m vae_captioning_tpu.cli \
   --coco_dir "$COCO_DIR" \
   --c_v --prior Normal \
   --checkpoint "$RUN" --gen_name "$RUN" \
-  --set image_net_weights_path="$VGG_NPZ"
+  --set image_net_weights_path="$VGG_NPZ" \
+  ${EXTRA[@]+"${EXTRA[@]}"}
 
 # 2. inference: beam search, beam 10 ("set according to papers baselines",
 #    utils/parameters.py:16-18) → val_${RUN}.json / test_${RUN}.json
@@ -36,7 +45,8 @@ python -m vae_captioning_tpu.cli --mode inference \
   --coco_dir "$COCO_DIR" \
   --c_v --prior Normal \
   --checkpoint "$RUN" --gen_name "$RUN" \
-  --sample_gen beam_search --set beam_size=10
+  --sample_gen beam_search --set beam_size=10 \
+  ${EXTRA[@]+"${EXTRA[@]}"}
 
 # 3. score the val split against ground truth (PTB-tokenized BLEU-1..4 +
 #    CIDEr-D, validated against nltk / hand-derived constants in

@@ -96,16 +96,33 @@ def load(path: str) -> Dict[str, np.ndarray]:
     return {str(n): v for n, v in zip(data["names"], data["vectors"])}
 
 
+# zero-fallback accounting: a missing vector silently degrades
+# c_v-conditioned quality, so the count is tracked and reported by the
+# inference driver (VERDICT r2 #7)
+_fallback = {"count": 0}
+
+
+def fallback_count() -> int:
+    """Images served a zero cluster vector since the last reset."""
+    return _fallback["count"]
+
+
+def reset_fallback_count() -> None:
+    _fallback["count"] = 0
+
+
 def lookup_batch(vectors: Optional[Dict[str, np.ndarray]],
                  filenames: Iterable[str]) -> np.ndarray:
     """Batch lookup with zero-vector fallback for undetected images
-    (ref utils/batch_gen.py:113-118)."""
+    (ref utils/batch_gen.py:113-118).  Fallbacks are counted; see
+    ``fallback_count``."""
     out = []
     for fn in filenames:
         key = os.path.basename(fn)
         if vectors is not None and key in vectors:
             out.append(vectors[key])
         else:
+            _fallback["count"] += 1
             out.append(np.zeros(NUM_CATEGORIES, dtype=np.float32))
     return np.stack(out)
 

@@ -9,6 +9,7 @@ batchers for the train / val / test splits.
 from __future__ import annotations
 
 import os
+import warnings
 from glob import glob
 from typing import Dict, Optional
 
@@ -110,8 +111,33 @@ class Data:
                 return getattr(self, attr)
         if test:
             # test split has no ground-truth instances; detector outputs
-            # must be supplied (ref prepare_test_vectors.ipynb). Zero
-            # vectors (the batcher fallback) keep decoding functional.
+            # must be supplied (ref prepare_test_vectors.ipynb cells 3-7
+            # ran Faster-RCNN).  Convenience: a COCO-results-format
+            # detections JSON dropped at obj_vectors/test_detections.json
+            # is converted automatically.
+            det_json = os.path.join(base, "test_detections.json")
+            if os.path.exists(det_json):
+                vecs = cv_lib.build_from_detections(
+                    cv_lib.load_detections_json(det_json))
+                cv_lib.save(vecs, os.path.join(base, "c_v_test.npz"))
+                setattr(self, attr, vecs)
+                return vecs
+            # Zero vectors (the batcher fallback) keep decoding
+            # functional but degrade c_v-conditioned quality — be LOUD
+            # (VERDICT r2 #7), don't let a missing file silently move
+            # CIDEr.
+            warnings.warn(
+                "no test-split cluster vectors found (looked for "
+                f"{os.path.join(base, name)}.npz/.pickle and {det_json}); "
+                "test-split decoding will use ZERO cluster vectors. For "
+                "AG/c_v models this collapses the conditional prior to "
+                "its all-used-classes fallback and degrades caption "
+                "quality. Run a detector over the test images and "
+                "convert its output with: python -m "
+                "vae_captioning_tpu.data.cluster_vectors "
+                "--detections_json dets.json --output "
+                f"{os.path.join(base, 'c_v_test.npz')}",
+                stacklevel=2)
             setattr(self, attr, {})
             return getattr(self, attr)
         merged: Dict[str, np.ndarray] = {}

@@ -19,11 +19,16 @@ lookalike without those resources would produce numbers that cannot be
 compared to published ones, which is worse than no number.
 
 Inputs are whitespace-tokenized strings.  ``score_captions_json``
-normalizes both sides with ``ptb_tokenize``, which vendor-matches the
-effective behavior of coco-caption's PTBTokenizer (CoreNLP tokenize →
-lowercase → drop its PUNCTUATIONS list) on caption-domain text, so the
-scores are comparable to the official tylin/coco-caption numbers the
-reference's CIDEr≈0.8 claim uses (``/root/reference/README.md:47``).
+normalizes both sides with ``ptb_tokenize``, which matches coco-caption's
+PTBTokenizer (CoreNLP tokenize → lowercase → drop its PUNCTUATIONS list)
+on caption-domain text, so the scores are comparable to the official
+tylin/coco-caption numbers the reference's CIDEr≈0.8 claim uses
+(``/root/reference/README.md:47``).  This is asserted, not assumed:
+``tests/test_pyco_parity.py`` checks the tokenizer against 55+ canned
+CoreNLP input/output pairs and every scorer against a
+structure-faithful oracle of the official pycocoevalcap arithmetic to
+≤1e-4 (plus nltk BLEU and hand-derived CIDEr-D/ROUGE-L constants in
+``tests/test_eval.py``).
 """
 
 from __future__ import annotations
@@ -48,10 +53,16 @@ _PTB_SPECIALS = {"cannot": "can not", "gonna": "gon na", "wanna": "wan na",
                  "gotta": "got ta", "lemme": "lem me", "gimme": "gim me"}
 
 # words, keeping internal hyphens / slashes / number commas+decimals /
-# o'clock-style apostrophes as one token (PTB behavior); split-off
-# contraction suffixes; runs of dots/dashes; single symbols
+# digit-colon times (3:30) / o'clock-style apostrophes as one token (PTB
+# behavior); split-off contraction suffixes (\b-guarded so a quoted
+# 'red' does not parse as 're + d); runs of dots/dashes; single symbols.
+# $ and % are standalone tokens (PTB separates currency/percent signs;
+# they survive the PUNCTUATIONS drop, e.g. "50%" → ["50", "%"]).
 _PTB_TOKEN_RE = re.compile(
-    r"[\w$%]+(?:[-/.,'][\w$%]+)*|'(?:s|re|m|ve|ll|d)|n't|\.\.\.|--|[^\w\s]")
+    r"\d+(?::\d+)+"
+    r"|\w+(?:[-/.,']\w+)*"
+    r"|'(?:s|re|m|ve|ll|d)\b|n't\b"
+    r"|\.\.\.|--|[^\w\s]")
 
 
 def ptb_tokenize(caption: str) -> List[str]:
@@ -79,18 +90,37 @@ def _ngrams(tokens: Sequence[str], n: int) -> Counter:
 
 def corpus_bleu(hypotheses: Dict[str, str], references: Dict[str, List[str]],
                 max_n: int = 4) -> List[float]:
-    """Corpus-level BLEU-1..max_n.  Keys of both dicts are image ids."""
+    """Corpus-level BLEU-1..max_n.  Keys of both dicts are image ids.
+
+    Arithmetic matches pycocoevalcap's BleuScorer.compute_score exactly
+    (option='closest', the official eval's setting for multi-image
+    corpora): per-image closest reference length with ties broken
+    toward the shorter reference, additive tiny/small smoothing on the
+    clipped precisions (a zero n-gram match yields ~1e-6, not 0), and
+    brevity penalty exp(1 - 1/ratio) applied only when
+    ratio = testlen/reflen < 1.  Cross-validated against a
+    structure-faithful oracle of the official code in
+    tests/test_pyco_parity.py (≤1e-4) and against nltk where the
+    smoothing is immaterial (tests/test_eval.py)."""
+    small = 1e-9
+    tiny = 1e-15  # pycocoevalcap's constants, verbatim
     clipped = [0] * max_n
     totals = [0] * max_n
     hyp_len = 0
-    ref_len = 0
+    ref_len = 0.0
+    # official option resolution: 'average' for a 1-image corpus,
+    # 'closest' otherwise
+    closest = len(hypotheses) > 1
     for key, hyp in hypotheses.items():
         hyp_tokens = hyp.split()
         refs_tokens = [r.split() for r in references[key]]
         hyp_len += len(hyp_tokens)
-        # closest reference length (standard BLEU tie→shorter)
-        ref_len += min((abs(len(r) - len(hyp_tokens)), len(r))
-                       for r in refs_tokens)[1]
+        if closest:
+            # closest reference length (official BLEU tie→shorter)
+            ref_len += min((abs(len(r) - len(hyp_tokens)), len(r))
+                           for r in refs_tokens)[1]
+        else:
+            ref_len += sum(len(r) for r in refs_tokens) / len(refs_tokens)
         for n in range(1, max_n + 1):
             hyp_counts = _ngrams(hyp_tokens, n)
             max_ref = Counter()
@@ -100,13 +130,14 @@ def corpus_bleu(hypotheses: Dict[str, str], references: Dict[str, List[str]],
             totals[n - 1] += sum(hyp_counts.values())
             clipped[n - 1] += sum(min(c, max_ref[g])
                                   for g, c in hyp_counts.items())
-    bp = 1.0 if hyp_len > ref_len else math.exp(1 - ref_len / max(hyp_len, 1))
     scores = []
-    log_sum = 0.0
+    bleu = 1.0
     for n in range(max_n):
-        p = clipped[n] / totals[n] if totals[n] else 0.0
-        log_sum += math.log(p) if p > 0 else -9999.0
-        scores.append(bp * math.exp(log_sum / (n + 1)))
+        bleu *= (clipped[n] + tiny) / (totals[n] + small)
+        scores.append(bleu ** (1.0 / (n + 1)))
+    ratio = (hyp_len + tiny) / (ref_len + small)
+    if ratio < 1:
+        scores = [s * math.exp(1 - 1 / ratio) for s in scores]
     return scores
 
 

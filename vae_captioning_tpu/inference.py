@@ -251,19 +251,33 @@ def run_inference(
     output_dir: str = ".",
 ) -> Dict[str, str]:
     """Full inference pass (ref ops/inference.py:4-56)."""
+    from vae_captioning_tpu.data import cluster_vectors as cv_lib
     from vae_captioning_tpu.train import build_model
     model = build_model(cfg)
     fns = make_decode_fns(model, cfg, vocab)
     rng = jax.random.PRNGKey(cfg.seed)
     written: Dict[str, str] = {}
 
+    def _report_cv_fallbacks(split: str, n_caps: int) -> None:
+        # a zero cluster vector silently degrades c_v-conditioned
+        # quality (VERDICT r2 #7) — surface the count per split
+        if cfg.needs_cluster_vectors and cv_lib.fallback_count():
+            print(f"WARNING: {cv_lib.fallback_count()}/{n_caps} {split} "
+                  "images had no cluster vector (served the zero "
+                  "fallback); c_v-conditioned caption quality degrades "
+                  "for these. See data/cluster_vectors.py --help to "
+                  "build vectors from detector output.")
+        cv_lib.reset_fallback_count()
+
     print("Generating captions for val file")
     val_fn = fns[cfg.sample_gen]
+    cv_lib.reset_fallback_count()
     caps = generate_captions(params, val_batcher, val_fn, vocab, rng)
     val_path = os.path.join(output_dir, f"val_{cfg.gen_name}.json")
     with open(val_path, "w") as f:
         json.dump(caps, f)
     print(f"Generated {len(caps)} captions → {val_path}")
+    _report_cv_fallbacks("val", len(caps))
     written["val"] = val_path
 
     if test_batcher is not None:
@@ -275,5 +289,6 @@ def run_inference(
         with open(test_path, "w") as f:
             json.dump(caps, f)
         print(f"Generated {len(caps)} captions → {test_path}")
+        _report_cv_fallbacks("test", len(caps))
         written["test"] = test_path
     return written
