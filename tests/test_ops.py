@@ -66,6 +66,102 @@ def test_kl_ag_zero_when_at_prior():
     assert abs(got) < 0.01
 
 
+def test_kl_gmm_single_component_is_exact_gaussian_kl():
+    """With all weight on one component, the variational bound collapses
+    to the closed-form Gaussian-Gaussian KL; with that component at the
+    origin and sigma_c=1 it must equal the standard-normal KL
+    (VERDICT r2 #6's reduction check)."""
+    rng = np.random.default_rng(2)
+    B, L, C = 5, 12, 90
+    mu = rng.normal(size=(B, L)).astype(np.float32)
+    std = np.exp(rng.normal(size=(B, L)) * 0.2).astype(np.float32)
+    c_v = np.zeros((B, C), np.float32)
+    c_v[:, 7] = 1.0
+    c_means = np.zeros((C, L), np.float32)
+    got = float(dist.kl_gmm(jnp.asarray(mu), jnp.asarray(std),
+                            jnp.asarray(c_v), jnp.asarray(c_means),
+                            cluster_sigma=1.0))
+    want = float(dist.kl_standard_normal(jnp.asarray(mu), jnp.asarray(std)))
+    assert got == pytest.approx(want, rel=1e-3)
+
+
+def test_kl_gmm_tight_upper_bound_on_mc_estimate():
+    """The variational bound must upper-bound an MC estimate of the true
+    mixture KL, and be tight when components are well separated."""
+    rng = np.random.default_rng(3)
+    B, L, C = 4, 6, 8
+    sig_c = 0.1
+    c_means = (dist.init_cluster_means(C, L, seed=5) * 5.0)  # separated
+    c_v = rng.random((B, C)).astype(np.float32)
+    # q concentrated AT one component per row: the true KL is then
+    # ≈ KL(q‖p_k) − log w_k and the bound is tight in absolute terms
+    picks = np.arange(B) % C
+    mu = c_means[picks] + rng.normal(size=(B, L)).astype(np.float32) * 0.02
+    std = np.full((B, L), 0.08, np.float32)
+    got = float(dist.kl_gmm(jnp.asarray(mu), jnp.asarray(std),
+                            jnp.asarray(c_v), jnp.asarray(c_means),
+                            cluster_sigma=sig_c))
+    # MC estimate of KL(q || mix) with 20k draws per row
+    w = c_v / c_v.sum(-1, keepdims=True)
+    S = 20000
+    z = mu[:, None, :] + std[:, None, :] * rng.normal(
+        size=(B, S, L)).astype(np.float32)          # [B, S, L]
+    log_q = (-0.5 * (((z - mu[:, None, :]) / std[:, None, :]) ** 2)
+             - np.log(std[:, None, :]) - 0.5 * np.log(2 * np.pi)).sum(-1)
+    d2 = ((z[:, :, None, :] - c_means[None, None, :, :]) ** 2).sum(-1)
+    log_comp = (-0.5 * d2 / sig_c**2
+                - L * (np.log(sig_c) + 0.5 * np.log(2 * np.pi)))  # [B,S,C]
+    from scipy.special import logsumexp
+    log_p = logsumexp(log_comp + np.log(w[:, None, :] + 1e-30), axis=-1)
+    mc = float((log_q - log_p).mean())
+    assert got >= mc - 0.02          # upper bound (mc noise margin)
+    assert got == pytest.approx(mc, abs=0.1)  # tight when separated
+
+
+def test_kl_gmm_zero_cv_falls_back_to_uniform():
+    rng = np.random.default_rng(4)
+    B, L, C = 3, 6, 10
+    mu = rng.normal(size=(B, L)).astype(np.float32)
+    std = np.full((B, L), 0.3, np.float32)
+    c_means = dist.init_cluster_means(C, L, seed=1)
+    zeros = jnp.zeros((B, C))
+    uniform = jnp.full((B, C), 1.0 / C)
+    got0 = float(dist.kl_gmm(jnp.asarray(mu), jnp.asarray(std), zeros,
+                             jnp.asarray(c_means)))
+    gotu = float(dist.kl_gmm(jnp.asarray(mu), jnp.asarray(std), uniform,
+                             jnp.asarray(c_means)))
+    assert np.isfinite(got0)
+    assert got0 == pytest.approx(gotu, rel=1e-6)
+
+
+def test_compute_loss_gmm_true_kl_opt_in():
+    """Config.gmm_true_kl routes the GMM prior through kl_gmm; default
+    keeps the reference's standard-normal placeholder."""
+    from vae_captioning_tpu.models.cvae import compute_loss
+    rng = np.random.default_rng(5)
+    B, T, V, L, C = 4, 6, 20, 8, 90
+    outputs = {
+        "logits": jnp.asarray(rng.normal(size=(B, T, V)).astype(np.float32)),
+        "q_mean": jnp.asarray(rng.normal(size=(B, L)).astype(np.float32)),
+        "q_std": jnp.asarray(np.exp(rng.normal(size=(B, L)) * 0.2)
+                             .astype(np.float32)),
+        "c_v": jnp.asarray((rng.random((B, C)) *
+                            (rng.random((B, C)) > 0.8)).astype(np.float32)),
+    }
+    labels = jnp.asarray(rng.integers(1, V, (B, T)), jnp.int32)
+    c_means = jnp.asarray(dist.init_cluster_means(C, L, seed=0))
+    off = compute_loss(outputs, labels, prior="GMM", no_encoder=False,
+                       cluster_means=c_means)
+    on = compute_loss(outputs, labels, prior="GMM", no_encoder=False,
+                      cluster_means=c_means, gmm_true_kl=True)
+    assert float(off["kld"]) == pytest.approx(float(
+        dist.kl_standard_normal(outputs["q_mean"], outputs["q_std"])), 1e-5)
+    assert float(on["kld"]) == pytest.approx(float(
+        dist.kl_gmm(outputs["q_mean"], outputs["q_std"], outputs["c_v"],
+                    c_means)), 1e-5)
+    assert float(on["rec_loss"]) == pytest.approx(float(off["rec_loss"]))
+
+
 # ---------------------------------------------------------------- sampling
 
 def test_sample_gaussian_shape_and_stats():

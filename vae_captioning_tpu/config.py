@@ -128,6 +128,12 @@ class Config:
                                 # margins are under the ~1% quantization
                                 # error — opt in after checking quality
                                 # on your data (see PERF.md)
+    gmm_true_kl: bool = False   # GMM prior only: replace the reference's
+                                # placeholder standard-normal KL (its
+                                # acknowledged TODO, ref main.py:125-135)
+                                # with the true mixture KL (variational
+                                # upper bound, ops/distributions.kl_gmm).
+                                # Default off = exact reference parity
     multihost: bool = False     # jax.distributed.initialize() at startup
                                 # (multi-host DCN training; mesh spans all
                                 # processes' devices)

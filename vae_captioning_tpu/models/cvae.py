@@ -229,6 +229,7 @@ def compute_loss(
     cluster_sigma: float = 0.1,
     annealing: jax.Array | float = 1.0,
     logits_params: Optional[Tuple[jax.Array, jax.Array]] = None,
+    gmm_true_kl: bool = False,
 ) -> Dict[str, jax.Array]:
     """Masked CE + prior KL + annealing → lower bound.
 
@@ -268,6 +269,12 @@ def compute_loss(
         kld = dist.kl_ag(outputs["q_mean"], outputs["q_std"],
                          outputs["c_v"], cluster_means, cluster_sigma,
                          row_mask=row_mask)
+    elif prior == "GMM" and gmm_true_kl:
+        # opt-in true mixture KL (Config.gmm_true_kl); the default GMM
+        # branch below keeps the reference's placeholder for parity
+        kld = dist.kl_gmm(outputs["q_mean"], outputs["q_std"],
+                          outputs["c_v"], cluster_means, cluster_sigma,
+                          row_mask=row_mask)
     else:  # Normal; GMM uses the same formula (ref TODO, main.py:125-135)
         kld = dist.kl_standard_normal(outputs["q_mean"], outputs["q_std"],
                                       row_mask=row_mask)

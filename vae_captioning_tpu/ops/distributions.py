@@ -90,6 +90,51 @@ def kl_ag(mean: jax.Array, std: jax.Array, c_v: jax.Array,
     return _masked_mean(per_example, row_mask)
 
 
+def kl_gmm(mean: jax.Array, std: jax.Array, c_v: jax.Array,
+           cluster_means: jax.Array, cluster_sigma: float = 0.1,
+           row_mask: jax.Array | None = None) -> jax.Array:
+    """True GMM-prior KL — variational upper bound (``Config.gmm_true_kl``).
+
+    The reference's GMM loss is an acknowledged placeholder: it applies
+    the standard-normal KL to the GMM posterior (ref ``main.py:125-135``,
+    "TODO").  This is the real thing:
+
+        KL(q ‖ Σ_k w_k N(μ_k, σ_c² I))
+            ≤ −log Σ_k w_k exp(−KL(q ‖ N(μ_k, σ_c² I)))
+
+    the single-Gaussian variational bound of Hershey & Olsen (ICASSP
+    2007, eq. 7/20).  It is tight (exact) when the mixture components
+    are well separated and reduces *exactly* to the Gaussian–Gaussian
+    KL when only one component has weight — both asserted in
+    tests/test_ops.py.
+
+    Mixture weights w_k come from the image's cluster vector (the same
+    conditioning the reference's GMM prior uses); all-zero rows (no
+    detections) fall back to uniform weights.
+
+    c_v: [B, 90] nonnegative weights, cluster_means: [90, L].
+    """
+    Kc = cluster_means.shape[0]
+    has_any = jnp.sum(c_v, axis=-1, keepdims=True) > 0
+    w = jnp.where(has_any, c_v, jnp.ones_like(c_v) / Kc)
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+
+    sig_c = jnp.asarray(cluster_sigma, mean.dtype)
+    var_c = jnp.square(sig_c) + _EPS_DIV
+    # component-independent part of KL(q ‖ N(μ_k, σ_c² I)):
+    #   Σ_dims [ log σ_c − log σ_q + σ_q²/(2σ_c²) − ½ ]           [B]
+    base = jnp.sum(jnp.log(sig_c + _EPS_LOG) - jnp.log(std + _EPS_LOG)
+                   + jnp.square(std) / (2.0 * var_c) - 0.5, axis=-1)
+    # ‖μ_q − μ_k‖² via the expansion (one [B,L]·[L,K] matmul)   [B, K]
+    d2 = (jnp.sum(jnp.square(mean), axis=-1, keepdims=True)
+          - 2.0 * mean @ cluster_means.T
+          + jnp.sum(jnp.square(cluster_means), axis=-1)[None, :])
+    kl_k = base[:, None] + jnp.maximum(d2, 0.0) / (2.0 * var_c)
+    per_example = -jax.nn.logsumexp(
+        jnp.log(jnp.maximum(w, 1e-30)) - kl_k, axis=-1)
+    return _masked_mean(per_example, row_mask)
+
+
 def init_cluster_means(num_clusters: int, latent_size: int,
                        seed: int = 0) -> np.ndarray:
     """Unit-norm random cluster means [num_clusters, latent_size].

@@ -212,7 +212,7 @@ def make_train_step(model: CVAEModel, tx: optax.GradientTransformation,
                 out, enc, prior=cfg.prior, no_encoder=cfg.no_encoder,
                 cluster_means=cluster_means, annealing=annealing,
                 logits_params=logits_head_params(params) if use_fused_ce
-                else None)
+                else None, gmm_true_kl=cfg.gmm_true_kl)
             return losses["loss"], losses
 
         grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
@@ -243,7 +243,8 @@ def make_eval_step(model: CVAEModel, cfg: Config):
                               no_encoder=cfg.no_encoder,
                               cluster_means=cluster_means, annealing=1.0,
                               logits_params=logits_head_params(params)
-                              if use_fused_ce else None)
+                              if use_fused_ce else None,
+                              gmm_true_kl=cfg.gmm_true_kl)
         return losses["rec_loss"]
 
     return jax.jit(eval_fn)
