@@ -1,0 +1,271 @@
+"""A/B bench for top-K *extraction* strategies inside the fused
+logits+top-K kernel (VERDICT r2 #3: the K unrolled extraction passes in
+ops/fused_logits_topk.py dominate the beam-10 decode step).
+
+Each variant is the SAME kernel skeleton (vocab-tiled MXU matmul +
+online-lse + running top-K merge, transposed scratch) with only the
+per-tile extraction loop swapped:
+
+  current      — the production loop: max / eq / min-where(col) / mask
+  argmax       — lax.argmax for the index (first-max tie-break is the
+                 same rule), mask via col == idx
+  packed_exact — extraction runs on the order-isomorphic int32 key
+                 (f32 bits with the negative half xor-flipped); value
+                 recovered exactly from the key, same tie-break ops
+  packed_quant — APPROXIMATE datapoint: index packed into the key's low
+                 12 bits (value quantized to 11 mantissa bits for
+                 ordering) → single max-reduce + masked clear per pass,
+                 3 tile-ops instead of 6.  NOT exact — measures the
+                 ceiling of the packed approach.
+
+Run ON TPU:  python benchmarks/bench_topk_variants.py [--m 20480] [--k 10]
+Prints one JSON line per variant: marginal ms/step + max |Δval| and
+index agreement vs the XLA reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from timing_util import marginal_ms  # noqa: E402
+
+from vae_captioning_tpu.ops.fused_logits_topk import (  # noqa: E402
+    _BM, _NEG, _VMEM_LIMIT, fused_logits_top_k_xla)
+
+_IMIN = -2**31 + 1
+
+
+def _sortable(bits):
+    """f32 bits (as int32) -> order-isomorphic int32 (involution)."""
+    return bits ^ ((bits >> 31) & 0x7FFFFFFF)
+
+
+def _extract_current(tile, col, k):
+    work = tile
+    t_vals, t_idx = [], []
+    for _ in range(k):
+        v = jnp.max(work, axis=-1, keepdims=True)
+        is_max = work == v
+        idx = jnp.min(jnp.where(is_max, col, jnp.int32(2**30)),
+                      axis=-1, keepdims=True)
+        t_vals.append(v)
+        t_idx.append(idx)
+        work = jnp.where(col == idx, _NEG, work)
+    return jnp.concatenate(t_vals, -1), jnp.concatenate(t_idx, -1)
+
+
+def _extract_argmax(tile, col, k):
+    work = tile
+    base = col[0:1, 0:1]  # j * bv broadcastable
+    t_vals, t_idx = [], []
+    for _ in range(k):
+        v = jnp.max(work, axis=-1, keepdims=True)
+        am = jnp.argmax(work, axis=-1).astype(jnp.int32)[:, None]
+        idx = am + base
+        t_vals.append(v)
+        t_idx.append(idx)
+        work = jnp.where(col == idx, _NEG, work)
+    return jnp.concatenate(t_vals, -1), jnp.concatenate(t_idx, -1)
+
+
+def _extract_packed_exact(tile, col, k):
+    s = _sortable(pltpu.bitcast(tile, jnp.int32))
+    t_vals, t_idx = [], []
+    for _ in range(k):
+        m = jnp.max(s, axis=-1, keepdims=True)
+        idx = jnp.min(jnp.where(s == m, col, jnp.int32(2**30)),
+                      axis=-1, keepdims=True)
+        t_vals.append(pltpu.bitcast(_sortable(m), jnp.float32))
+        t_idx.append(idx)
+        s = jnp.where(col == idx, _IMIN, s)
+    return jnp.concatenate(t_vals, -1), jnp.concatenate(t_idx, -1)
+
+
+def _extract_packed_quant(tile, col, k):
+    # key = value bits (low 12 cleared) | (4095 - local col): unique per
+    # lane, larger value wins, ties -> earlier col.  APPROXIMATE.
+    local = col - col[0:1, 0:1]
+    s = _sortable(pltpu.bitcast(tile, jnp.int32))
+    p = (s & ~jnp.int32(0xFFF)) | (jnp.int32(4095) - local)
+    base = col[0:1, 0:1]
+    t_vals, t_idx = [], []
+    for _ in range(k):
+        m = jnp.max(p, axis=-1, keepdims=True)
+        t_vals.append(pltpu.bitcast(_sortable(m & ~jnp.int32(0xFFF)),
+                                    jnp.float32))
+        t_idx.append(jnp.int32(4095) - (m & jnp.int32(0xFFF)) + base)
+        p = jnp.where(p == m, _IMIN, p)
+    return jnp.concatenate(t_vals, -1), jnp.concatenate(t_idx, -1)
+
+
+_EXTRACTORS = {
+    "current": _extract_current,
+    "argmax": _extract_argmax,
+    "packed_exact": _extract_packed_exact,
+    "packed_quant": _extract_packed_quant,
+}
+
+
+def _kernel(h_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref,
+            rv_scratch, ri_scratch, ms_scratch,
+            *, k, v_real, bv, mode):
+    j = pl.program_id(0)
+    i = pl.program_id(1)
+    BM = h_ref.shape[0]
+    n_v = pl.num_programs(0)
+    cols = pl.ds(i * BM, BM)
+
+    @pl.when(j == 0)
+    def _init():
+        rv_scratch[:, cols] = jnp.full((k, BM), _NEG)
+        ri_scratch[:, cols] = jnp.zeros((k, BM), jnp.int32)
+        ms_scratch[0:1, cols] = jnp.full((1, BM), _NEG)
+        ms_scratch[1:2, cols] = jnp.zeros((1, BM))
+
+    tile = jax.lax.dot_general(
+        h_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b_ref[0, :][None, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1) + j * bv
+    tile = jnp.where(col < v_real, tile, _NEG)
+
+    tile_vals, tile_idx = _EXTRACTORS[mode](tile, col, k)
+
+    m_old = ms_scratch[0:1, cols].T
+    s_old = ms_scratch[1:2, cols].T
+    tile_max = tile_vals[:, 0:1]
+    m_new = jnp.maximum(m_old, tile_max)
+    s_new = (s_old * jnp.exp(m_old - m_new)
+             + jnp.sum(jnp.exp(tile - m_new), axis=-1, keepdims=True))
+    ms_scratch[0:1, cols] = m_new.T
+    ms_scratch[1:2, cols] = s_new.T
+
+    cat_v = jnp.concatenate([rv_scratch[:, cols].T, tile_vals], axis=-1)
+    cat_i = jnp.concatenate([ri_scratch[:, cols].T, tile_idx], axis=-1)
+    sel_v, sel_i = [], []
+    for _ in range(k):
+        v = jnp.max(cat_v, axis=-1, keepdims=True)
+        is_max = cat_v == v
+        idx = jnp.min(jnp.where(is_max, cat_i, jnp.int32(2**30)),
+                      axis=-1, keepdims=True)
+        sel_v.append(v)
+        sel_i.append(idx)
+        cat_v = jnp.where(jnp.logical_and(cat_v == v, cat_i == idx),
+                          _NEG, cat_v)
+    rv_scratch[:, cols] = jnp.concatenate(sel_v, axis=-1).T
+    ri_scratch[:, cols] = jnp.concatenate(sel_i, axis=-1).T
+
+    @pl.when(j == n_v - 1)
+    def _publish():
+        vals_ref[:, :] = rv_scratch[:, cols].T
+        idx_ref[:, :] = ri_scratch[:, cols].T
+        lse_ref[:, :] = (ms_scratch[0:1, cols]
+                         + jnp.log(ms_scratch[1:2, cols])).T
+
+
+@functools.partial(jax.jit, static_argnames=("k", "mode"))
+def fused_topk_variant(h, w, b, k, mode):
+    M, H = h.shape
+    V = w.shape[1]
+    bv = 1920
+    h16 = h.astype(jnp.bfloat16)
+    w16 = w.astype(jnp.bfloat16)
+    v_pad = (-V) % bv
+    if v_pad:
+        w16 = jnp.pad(w16, ((0, 0), (0, v_pad)))
+        b = jnp.pad(b, (0, v_pad))
+    m_pad = (-M) % _BM
+    if m_pad:
+        h16 = jnp.pad(h16, ((0, m_pad), (0, 0)))
+    Mp, Vp = h16.shape[0], w16.shape[1]
+    n_v, n_m = Vp // bv, Mp // _BM
+
+    vals, idx, lse = pl.pallas_call(
+        functools.partial(_kernel, k=k, v_real=V, bv=bv, mode=mode),
+        grid=(n_v, n_m),
+        in_specs=[
+            pl.BlockSpec((_BM, H), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, bv), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bv), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_BM, k), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BM, k), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BM, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Mp, k), jnp.float32),
+            jax.ShapeDtypeStruct((Mp, k), jnp.int32),
+            jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((k, Mp), jnp.float32),
+            pltpu.VMEM((k, Mp), jnp.int32),
+            pltpu.VMEM((2, Mp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(h16, w16, b.astype(jnp.float32).reshape(1, -1))
+    return vals[:M], idx[:M], lse[:M, 0]
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--m", type=int, default=20480)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--variants", nargs="*", default=list(_EXTRACTORS))
+    args = p.parse_args(argv)
+
+    H, V = 512, 11500
+    rng = np.random.default_rng(0)
+    h0 = jnp.asarray(rng.normal(size=(args.m, H)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(H, V)).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.normal(size=(V,)).astype(np.float32) * 0.01)
+
+    # correctness snapshot vs the XLA reference (same bf16 matmul)
+    want_v, want_i, want_lse = map(np.asarray,
+                                   fused_logits_top_k_xla(h0, w, b, args.k))
+
+    for mode in args.variants:
+        got_v, got_i, got_lse = map(
+            np.asarray, fused_topk_variant(h0, w, b, args.k, mode))
+        idx_agree = float((got_i == want_i).mean())
+        dval = float(np.abs(got_v - want_v).max())
+        dlse = float(np.abs(got_lse - want_lse).max())
+
+        def run(n, mode=mode):
+            def body(carry, _):
+                h = carry
+                vals, idx, lse = fused_topk_variant(h, w, b, args.k, mode)
+                return h + vals[:, 0:1] * 1e-9, None
+            out, _ = jax.lax.scan(body, h0, None, length=n)
+            return out[:4, :4]
+
+        runner = jax.jit(run, static_argnums=0)
+        ms, _ = marginal_ms(runner, n_lo=8, n_hi=32, reps=5)
+        print(json.dumps({
+            "variant": mode, "k": args.k, "M": args.m,
+            "marginal_ms_per_step": round(ms, 4),
+            "idx_agreement": round(idx_agree, 6),
+            "max_abs_dval": dval, "max_abs_dlse": round(dlse, 6),
+        }))
+
+
+if __name__ == "__main__":
+    main()
