@@ -27,8 +27,8 @@ from vae_captioning_tpu.train import (
     TrainState, init_model, make_optimizer, make_train_step)
 
 
-@pytest.mark.parametrize("prior", ["Normal", "AG"])
-def test_overfit_reproduces_training_captions(mini_coco, prior):
+def _overfit(mini_coco, prior, epochs=60):
+    """Overfit a tiny model on the mini-COCO; returns the trained pieces."""
     paths = coco_paths(mini_coco)
     caps = CocoCaptions(paths["train_cap_json"])
     vocab = Vocabulary.build(caps.all_tokenized(), keep_words=1)
@@ -71,11 +71,19 @@ def test_overfit_reproduces_training_captions(mini_coco, prior):
     from vae_captioning_tpu.train import _flatten_batch
 
     losses = []
-    for epoch in range(60):
+    for epoch in range(epochs):
         for batch in batcher.train_batches(num_captions=1):
             args = [jnp.asarray(x) for x in _flatten_batch(batch)]
             state, m = step(state, *args, jax.random.PRNGKey(42))
             losses.append(float(m["rec_loss"]))
+    return cfg, model, state, vocab, caps, batcher, losses
+
+
+@pytest.mark.parametrize("prior", ["Normal", "AG"])
+def test_overfit_reproduces_training_captions(mini_coco, prior):
+    import os
+    cfg, model, state, vocab, caps, batcher, losses = _overfit(
+        mini_coco, prior)
     assert losses[-1] < 0.8, f"did not overfit: {losses[::40]}"
 
     # decode the training images and score against their own captions
@@ -95,3 +103,77 @@ def test_overfit_reproduces_training_captions(mini_coco, prior):
     # an overfit model must reproduce one of its 5 training captions
     assert bleu[0] > 0.6, (bleu, hyps)
     assert cider > 1.0, (cider, hyps)
+
+
+def test_int8_decode_quality_delta_bounded(mini_coco):
+    """int8-quantized decode quality gate (VERDICT r2 #5): on a TRAINED
+    model, beam-decode with the exact bf16 path and with the int8
+    quantized math (``fused_logits_top_k_int8_xla`` — identical
+    arithmetic to the TPU kernel, CPU-runnable) and assert the BLEU-1 /
+    CIDEr-D deltas are bounded.  Random-logit agreement tests measure
+    the worst case; this is the number a user opting into
+    ``Config.decode_int8`` actually cares about."""
+    import os
+
+    from vae_captioning_tpu.models.cvae import logits_head_params
+    from vae_captioning_tpu.ops.decoding import beam_search
+    from vae_captioning_tpu.ops.fused_logits_topk import (
+        fused_logits_top_k_int8_xla, fused_logits_top_k_xla,
+        quantize_logits_weights)
+
+    cfg, model, state, vocab, caps, batcher, losses = _overfit(
+        mini_coco, "Normal", epochs=40)
+    params = state.params
+    w, b = logits_head_params(params)
+    wq, ws = quantize_logits_weights(w)
+    cls = type(model)
+
+    def decode(topk):
+        @jax.jit
+        def fn(features, rng):
+            carry = model.apply({"params": params}, features, None,
+                                rngs={"z": rng}, method=cls.decode_init)
+
+            def step_fn(c, toks):
+                return model.apply({"params": params}, c, toks,
+                                   method=cls.decode_step)
+
+            def step_topk(c, toks):
+                c, h = model.apply({"params": params}, c, toks,
+                                   method=cls.decode_step_hidden)
+                vals, idx, lse = topk(h)
+                return c, vals, idx, lse
+
+            res = beam_search(step_fn, carry, features.shape[0],
+                              beam_size=3, bos_id=vocab.bos_id,
+                              eos_id=vocab.eos_id, max_len=cfg.gen_max_len,
+                              use_pallas=False, step_topk_fn=step_topk)
+            return res.tokens[:, 0]
+        return fn
+
+    exact_fn = decode(lambda h: fused_logits_top_k_xla(h, w, b, 3))
+    int8_fn = decode(lambda h: fused_logits_top_k_int8_xla(h, wq, ws, b, 3))
+
+    batch = next(iter(batcher.eval_batches(with_ids=False)))
+    feats = jnp.asarray(batch.features)
+    rng = jax.random.PRNGKey(0)
+    tok_exact = np.asarray(exact_fn(feats, rng))
+    tok_int8 = np.asarray(int8_fn(feats, rng))
+
+    def score(tokens):
+        hyps, refs = {}, {}
+        for i, fn in enumerate(batcher.filenames):
+            key = os.path.basename(fn)
+            hyps[key] = tokens_to_text(tokens[i], vocab.idx2word,
+                                       vocab.eos_id)
+            refs[key] = [" ".join(c[1:-1]) for c in caps.captions[key]]
+        return corpus_bleu(hyps, refs)[0], cider_d(hyps, refs)
+
+    bleu1_e, cider_e = score(tok_exact)
+    bleu1_q, cider_q = score(tok_int8)
+    # the gate: quantized decode must stay within 15% relative CIDEr-D
+    # and 0.1 absolute BLEU-1 of the exact path on a trained model
+    assert cider_q >= 0.85 * cider_e, (cider_q, cider_e)
+    assert bleu1_q >= bleu1_e - 0.1, (bleu1_q, bleu1_e)
+    print(f"int8 decode quality: BLEU-1 {bleu1_e:.3f}->{bleu1_q:.3f}, "
+          f"CIDEr-D {cider_e:.3f}->{cider_q:.3f}")
