@@ -237,9 +237,19 @@ ALL = {"decode_step": bench_decode_step, "beam_body": bench_beam_body,
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--components", nargs="*", default=list(ALL))
+    p.add_argument("--batch", type=int, default=None,
+                   help="override batch for decode_step / beam_body")
+    p.add_argument("--beam", type=int, default=None,
+                   help="override beam for decode_step / beam_body")
     args = p.parse_args(argv)
+    overrides = {k: v for k, v in
+                 (("batch", args.batch), ("beam", args.beam))
+                 if v is not None}
     for name in args.components:
-        ALL[name]()
+        if name in ("decode_step", "beam_body") and overrides:
+            ALL[name](**overrides)
+        else:
+            ALL[name]()
 
 
 if __name__ == "__main__":

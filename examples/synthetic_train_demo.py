@@ -130,6 +130,11 @@ def main():
     p.add_argument("--hard", action="store_true",
                    help="80-object/adjective corpus; pair with e.g. "
                         "--images 5000 --holdout 512 --steps 3000")
+    p.add_argument("--prior", default="AG", choices=["Normal", "GMM", "AG"])
+    p.add_argument("--gmm_true_kl", action="store_true",
+                   help="GMM prior only: true mixture KL instead of the "
+                        "reference's standard-normal placeholder "
+                        "(Config.gmm_true_kl A/B)")
     args = p.parse_args()
 
     rng = np.random.default_rng(0)
@@ -145,9 +150,9 @@ def main():
             if args.hard else
             dict(embed_size=64, latent_size=16, encoder_hidden=128,
                  decoder_hidden=128, gen_max_len=12))
-    cfg = Config(prior="AG", use_c_v=True, gen_z_samples=8,
+    cfg = Config(prior=args.prior, use_c_v=True, gen_z_samples=8,
                  learning_rate=0.003, std=0.05, beam_size=3,
-                 num_captions=3, **dims)
+                 num_captions=3, gmm_true_kl=args.gmm_true_kl, **dims)
     cfg.vocab_size = vocab.vocab_size
 
     model, params = init_model(cfg, jax.random.PRNGKey(0))

@@ -102,12 +102,15 @@ def test_hdf5_store_scatter_order(tmp_path, mini_coco):
         [os.path.join(mini_coco, "images", "train2014")], out, size=32)
     store = Hdf5ImageStore(out)
     names = list(index)
-    got = store.get_batch([names[5], names[1], names[8]])
+    # duplicate filename in one batch: legal (h5py itself would reject
+    # repeated indices — the store dedupes and expands)
+    got = store.get_batch([names[5], names[1], names[8], names[5]])
     import h5py
     with h5py.File(out) as h5:
         np.testing.assert_array_equal(got[0], h5["images"][index[names[5]]])
         np.testing.assert_array_equal(got[1], h5["images"][index[names[1]]])
         np.testing.assert_array_equal(got[2], h5["images"][index[names[8]]])
+        np.testing.assert_array_equal(got[3], h5["images"][index[names[5]]])
     store.close()
 
 

@@ -56,18 +56,18 @@ class Hdf5ImageStore:
             self.name_to_row: Dict[str, int] = json.load(f)
 
     def get_batch(self, filenames: Sequence[str]) -> np.ndarray:
-        """Fetch images for filenames; h5py requires increasing indices, so
-        read sorted and scatter back to request order
-        (ref utils/batch_gen.py:152-162 sorted the *batch* instead)."""
-        rows = [self.name_to_row[os.path.basename(fn)] for fn in filenames]
-        order = np.argsort(rows)
-        sorted_rows = [rows[i] for i in order]
-        data = self.images[sorted_rows]
-        out = np.empty_like(data)
-        out[order] = data
+        """Fetch images for filenames; h5py requires *strictly increasing*
+        indices, so read the sorted unique rows and expand back to the
+        request order — this also makes duplicate filenames in one batch
+        legal (ref utils/batch_gen.py:152-162 sorted the *batch*
+        instead)."""
+        rows = np.asarray([self.name_to_row[os.path.basename(fn)]
+                           for fn in filenames])
+        uniq, inverse = np.unique(rows, return_inverse=True)
+        data = self.images[uniq.tolist()]
         # uint8 through host batching and the device transfer (4× less
         # traffic); VGG16 casts on device (models/vgg16.py:50)
-        return out
+        return data[inverse]
 
     def close(self) -> None:
         self._h5.close()
