@@ -123,6 +123,11 @@ def to_batch(feats, caps_ids, cvs, T=16):
 
 
 def main():
+    # VCT_PLATFORM=cpu forces the backend (same override as cli.py; the
+    # env var JAX_PLATFORMS alone loses to site hooks that pin a platform)
+    platform = os.environ.get("VCT_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=400)
     p.add_argument("--images", type=int, default=200)

@@ -30,6 +30,8 @@ def test_reference_recipe_script_runs(mini_coco, vgg_npz, tmp_path):
     # same virtual-CPU-device setup as conftest (the script spawns fresh
     # python processes that don't inherit the in-process jax config)
     env["JAX_PLATFORMS"] = "cpu"
+    env["VCT_PLATFORM"] = "cpu"  # the CLI's own override — beats site
+    # hooks that pin jax_platforms (JAX_PLATFORMS alone loses to them)
     env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
                         + " --xla_force_host_platform_device_count=8").strip()
     env["RECIPE_EXTRA_ARGS"] = " ".join([

@@ -17,8 +17,10 @@ weight tile is fetched once per sweep; running state is scratch sized
 [M_padded, ·] indexed by the row block.
 
 Numerics: bf16 matmul with fp32 accumulation; exact logsumexp via the
-online max/sum recurrence; exact top-K by per-tile extraction (K ≤ 16
-unrolled max/argmax/mask passes in VMEM) merged into the running list.
+online max/sum recurrence; exact top-K by per-tile extraction — K
+unrolled max/tie-break/mask passes in VMEM over the order-isomorphic
+int32 keys of the f32 tile (see ``_sortable``; ~1.6× the f32 sweeps,
+bit-identical results) — merged into the running list.
 """
 
 from __future__ import annotations
@@ -31,7 +33,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BM = 256     # rows per block
+_BM = 256     # rows per block (large-batch decode)
+
+
+def _row_block(m: int) -> int:
+    """Rows per block: 256 for throughput shapes, shrunk to the padded
+    request size for small-batch serving (batch 1-8 × beam ≤ 32 rows
+    would otherwise pad to 256 and spend 8-30× the VPU extraction work
+    on padding; 32 is the int8 sublane tile so every dtype is legal)."""
+    return _BM if m >= _BM else -(-m // 32) * 32
 
 
 def _vocab_tile(k: int) -> int:
@@ -52,6 +62,20 @@ def _vocab_tile(k: int) -> int:
 # at M=6144, k=3); the limit VALUE is not speed-sensitive (17 ≈ 32).
 _VMEM_LIMIT = 17 * 1024 * 1024
 _NEG = -1e30  # plain float: jnp scalars can't be captured by the kernel
+_IMIN = -2**31 + 1
+
+
+def _sortable(bits):
+    """f32 bits (as int32) → order-isomorphic int32 key (involution).
+
+    Non-negative floats are already int32-ordered by their bits; the
+    negative half orders backwards, so xor its non-sign bits.  Extraction
+    passes run on these keys: int32 max/compare/select generate ~1.6×
+    faster VPU code than the mixed f32/int sweeps they replace (A/B at
+    M=20480 k=10: 11.0 → 6.8 ms/step, benchmarks/bench_topk_variants.py)
+    and the exact f32 value is recovered by the inverse transform — the
+    selection, tie-breaks, and values are bit-identical."""
+    return bits ^ ((bits >> 31) & 0x7FFFFFFF)
 
 
 def _fold_tile(tile_fn, BM, j, i, vals_ref, idx_ref, lse_ref,
@@ -83,30 +107,40 @@ def _fold_tile(tile_fn, BM, j, i, vals_ref, idx_ref, lse_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1) + j * bv
     tile = jnp.where(col < v_real, tile, _NEG)       # mask vocab padding
 
-    # ---- tile top-K (K unrolled extraction passes, all in VMEM)
+    # ---- tile top-K (K unrolled extraction passes, all in VMEM).
+    # Two domains, both exact with identical tie-breaks, picked by k
+    # (same-process A/B at reference shapes, see _sortable):
+    #   k ≤ 4 — f32 sweeps (packing costs more than 3-4 passes save:
+    #           0.88 → 0.98 ms/step at k=3, M=6144)
+    #   k ≥ 5 — order-isomorphic int32 keys (11.0 → 6.9 ms/step at
+    #           k=10, M=20480; the one-time pack amortizes)
     # (A two-level variant — per-128-lane group maxima → top-K groups →
     # masked slice gather — was built and measured SLOWER: 0.186 vs
     # 0.135 ms/step per extraction pass at M=6144; the 30-iteration
-    # masked gather generates worse VPU code than these long sweeps.)
-    work = tile
-    t_vals = []
+    # masked gather generates worse VPU code.)
+    packed = k > 4
+    work = _sortable(pltpu.bitcast(tile, jnp.int32)) if packed else tile
+    dead = _IMIN if packed else _NEG
+    t_keys = []
     t_idx = []
     for _ in range(k):
-        v = jnp.max(work, axis=-1, keepdims=True)     # [BM, 1]
-        is_max = work == v
+        m = jnp.max(work, axis=-1, keepdims=True)     # [BM, 1]
+        is_max = work == m
         idx = jnp.min(jnp.where(is_max, col, jnp.int32(2**30)),
                       axis=-1, keepdims=True)
-        t_vals.append(v)
+        t_keys.append(m)
         t_idx.append(idx)
-        work = jnp.where(col == idx, _NEG, work)
-    tile_vals = jnp.concatenate(t_vals, axis=-1)      # [BM, k]
+        work = jnp.where(col == idx, dead, work)
+    cat = jnp.concatenate(t_keys, axis=-1)            # [BM, k]
+    tile_vals = (pltpu.bitcast(_sortable(cat), jnp.float32) if packed
+                 else cat)
     tile_idx = jnp.concatenate(t_idx, axis=-1)
 
     # ---- online logsumexp (tile max = the first extraction pass's max
     # — saves one full-tile reduce)
     m_old = ms_scratch[0:1, cols].T                   # [BM, 1]
     s_old = ms_scratch[1:2, cols].T
-    tile_max = t_vals[0]
+    tile_max = tile_vals[:, 0:1]
     m_new = jnp.maximum(m_old, tile_max)
     s_new = (s_old * jnp.exp(m_old - m_new)
              + jnp.sum(jnp.exp(tile - m_new), axis=-1, keepdims=True))
@@ -194,18 +228,19 @@ def fused_logits_top_k(h: jax.Array, w: jax.Array, b: jax.Array, k: int
     if v_pad:
         w16 = jnp.pad(w16, ((0, 0), (0, v_pad)))
         b = jnp.pad(b, (0, v_pad))
-    m_pad = (-M) % _BM
+    bm = _row_block(M)
+    m_pad = (-M) % bm
     if m_pad:
         h16 = jnp.pad(h16, ((0, m_pad), (0, 0)))
     Mp = h16.shape[0]
     Vp = w16.shape[1]
-    n_v, n_m = Vp // bv, Mp // _BM
+    n_v, n_m = Vp // bv, Mp // bm
 
     vals, idx, lse = pl.pallas_call(
         functools.partial(_kernel, k=k, v_real=V, bv=bv),
         grid=(n_v, n_m),
         in_specs=[
-            pl.BlockSpec((_BM, H), lambda j, i: (i, 0),
+            pl.BlockSpec((bm, H), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, bv), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
@@ -213,11 +248,11 @@ def fused_logits_top_k(h: jax.Array, w: jax.Array, b: jax.Array, k: int
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((_BM, k), lambda j, i: (i, 0),
+            pl.BlockSpec((bm, k), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BM, k), lambda j, i: (i, 0),
+            pl.BlockSpec((bm, k), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BM, 1), lambda j, i: (i, 0),
+            pl.BlockSpec((bm, 1), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -280,21 +315,22 @@ def fused_logits_top_k_int8(h: jax.Array, wq: jax.Array, ws: jax.Array,
         wq = jnp.pad(wq, ((0, 0), (0, v_pad)))
         ws = jnp.pad(ws, (0, v_pad))
         b = jnp.pad(b, (0, v_pad))
-    m_pad = (-M) % _BM
+    bm = _row_block(M)
+    m_pad = (-M) % bm
     if m_pad:
         hq = jnp.pad(hq, ((0, m_pad), (0, 0)))
         hs = jnp.pad(hs, ((0, m_pad), (0, 0)))
     Mp = hq.shape[0]
     Vp = wq.shape[1]
-    n_v, n_m = Vp // bv, Mp // _BM
+    n_v, n_m = Vp // bv, Mp // bm
 
     vals, idx, lse = pl.pallas_call(
         functools.partial(_kernel_int8, k=k, v_real=V, bv=bv),
         grid=(n_v, n_m),
         in_specs=[
-            pl.BlockSpec((_BM, H), lambda j, i: (i, 0),
+            pl.BlockSpec((bm, H), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BM, 1), lambda j, i: (i, 0),
+            pl.BlockSpec((bm, 1), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, bv), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
@@ -304,11 +340,11 @@ def fused_logits_top_k_int8(h: jax.Array, wq: jax.Array, ws: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((_BM, k), lambda j, i: (i, 0),
+            pl.BlockSpec((bm, k), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BM, k), lambda j, i: (i, 0),
+            pl.BlockSpec((bm, k), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BM, 1), lambda j, i: (i, 0),
+            pl.BlockSpec((bm, 1), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -406,7 +442,8 @@ def fused_logits_sample(h: jax.Array, w: jax.Array, b: jax.Array,
     if v_pad:
         w16 = jnp.pad(w16, ((0, 0), (0, v_pad)))
         b = jnp.pad(b, (0, v_pad))
-    m_pad = (-M) % _BM
+    bm = _row_block(M)
+    m_pad = (-M) % bm
     if m_pad:
         h16 = jnp.pad(h16, ((0, m_pad), (0, 0)))
     Mp, Vp = h16.shape[0], w16.shape[1]
@@ -414,17 +451,17 @@ def fused_logits_sample(h: jax.Array, w: jax.Array, b: jax.Array,
     tokens = pl.pallas_call(
         functools.partial(_sample_kernel, v_real=V, bv=bv,
                           inv_temp=1.0 / temperature),
-        grid=(Vp // bv, Mp // _BM),
+        grid=(Vp // bv, Mp // bm),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((_BM, H), lambda j, i: (i, 0),
+            pl.BlockSpec((bm, H), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, bv), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bv), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_BM, 1), lambda j, i: (i, 0),
+        out_specs=pl.BlockSpec((bm, 1), lambda j, i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Mp, 1), jnp.int32),
         scratch_shapes=[
