@@ -37,11 +37,14 @@ _BM = 256     # rows per block (large-batch decode)
 
 
 def _row_block(m: int) -> int:
-    """Rows per block: 256 for throughput shapes, shrunk to the padded
-    request size for small-batch serving (batch 1-8 × beam ≤ 32 rows
-    would otherwise pad to 256 and spend 8-30× the VPU extraction work
-    on padding; 32 is the int8 sublane tile so every dtype is legal)."""
-    return _BM if m >= _BM else -(-m // 32) * 32
+    """Rows per block: 256 for throughput shapes, 128 for small-batch
+    serving (batch 1-8 × beam requests would otherwise pad the VPU
+    extraction sweeps to 256 rows).  128 is the floor: the transposed
+    running-state scratch ([k, Mp]) is sliced along the LANE dimension
+    per row block, and Mosaic requires those offsets/extents to be
+    128-lane aligned (32 was tried — 'cannot statically prove that
+    index in dimension 1 is a multiple of 128')."""
+    return _BM if m > 128 else 128
 
 
 def _vocab_tile(k: int) -> int:
