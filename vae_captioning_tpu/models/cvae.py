@@ -242,8 +242,6 @@ def compute_loss(
     ``logits_params`` and the CE runs through the fused Pallas kernel —
     [N, V] logits never reach HBM (ops/fused_ce.py).
     """
-    import optax
-
     if "hidden" in outputs:
         from vae_captioning_tpu.ops.fused_ce import fused_linear_ce
         hidden = outputs["hidden"]
@@ -255,8 +253,31 @@ def compute_loss(
         rec_loss = fused_linear_ce(hidden.reshape(-1, H), w, b,
                                    labels_flat, ce_weights)
     else:
+        # CE with f32 accumulation over compute-dtype (bf16) logits.
+        # Same math as optax.softmax_cross_entropy_with_integer_labels
+        # on logits.astype(f32) — the values are already bf16-rounded by
+        # the head, so the upcast adds no precision — but the converts
+        # are inside single-consumer elementwise chains, so XLA fuses
+        # them into the reductions instead of materializing an f32
+        # [B·K, T, V] copy of the step's largest tensor (round-3 trace:
+        # that copy cost ~1.7 ms/step of pure HBM writes).
+        #
+        # The label logit is an iota==label masked reduction, NOT
+        # take_along_axis: all three V-reductions then fuse into one
+        # HBM pass, and the backward is elementwise (softmax − onehot)
+        # instead of a scatter.  The gather variant measured +12 ms on
+        # a 28 ms step (XLA serializes per-row gathers through scalar
+        # memory — same pathology as the round-2 beam bookkeeping).
         logits = outputs["logits"]
-        ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        m = jax.lax.stop_gradient(jnp.max(logits, axis=-1, keepdims=True))
+        sumexp = jnp.sum(jnp.exp((logits - m).astype(jnp.float32)), axis=-1)
+        lse = jnp.log(sumexp) + m[..., 0].astype(jnp.float32)
+        onehot = (labels[..., None] == jax.lax.broadcasted_iota(
+            jnp.int32, (1,) * labels.ndim + (logits.shape[-1],),
+            labels.ndim))
+        label_logit = jnp.sum(
+            jnp.where(onehot, logits, 0).astype(jnp.float32), axis=-1)
+        ce = lse - label_logit
         mask = (labels != 0).astype(jnp.float32)
         rec_loss = jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
     # rows that are entirely padding (mesh-padded batches, images with

@@ -107,9 +107,16 @@ class Decoder(nn.Module):
         deterministic: bool = True,
         return_hidden: bool = False,
     ) -> jax.Array:
-        """Full-sequence logits [B, T, V] (fp32), or the pre-projection
-        hidden states [B, T, H] when ``return_hidden`` (input to the
-        fused linear-CE kernel, ops/fused_ce.py)."""
+        """Full-sequence logits [B, T, V] in COMPUTE dtype, or the
+        pre-projection hidden states [B, T, H] when ``return_hidden``
+        (input to the fused linear-CE kernel, ops/fused_ce.py).
+
+        The head computes in compute dtype (bf16 on TPU), so an
+        astype(f32) here adds no precision — it only doubles the HBM
+        bytes of the largest tensor in the train step (the round-3
+        xplane trace showed one fusion writing BOTH an f32 and a bf16
+        [B·K, T, V] copy).  ``compute_loss`` upcasts inside its
+        reductions instead."""
         x = self.embedding(dec_inputs)
         if self.dec_keep_rate < 1.0 and not deterministic:
             keep = self.dec_keep_rate
@@ -118,7 +125,7 @@ class Decoder(nn.Module):
         _, outputs = self.lstm(carry, x, lengths, deterministic)
         if return_hidden:
             return outputs
-        return self.logits_head(outputs).astype(jnp.float32)
+        return self.logits_head(outputs)
 
     # ------------------------------------------------------------------
     def step(self, carry: Carry, tokens: jax.Array) -> Tuple[Carry, jax.Array]:
