@@ -110,11 +110,38 @@ def _extract_packed_quant(tile, col, k):
     return jnp.concatenate(t_vals, -1), jnp.concatenate(t_idx, -1)
 
 
+def _extract_trivial(tile, col, k):
+    """Decomposition baseline: broadcast the first column k-wide (no
+    extraction passes).  WRONG results — cost-accounting only.  (A
+    ``tile[:, :k]`` lane-slice crashed Mosaic at k=10; width-1 slice +
+    broadcast is the safe pattern.)"""
+    BM = tile.shape[0]
+    return (jnp.zeros((BM, k), tile.dtype) + tile[:, 0:1],
+            jnp.zeros((BM, k), jnp.int32) + col[:, 0:1])
+
+
 _EXTRACTORS = {
     "current": _extract_current,
     "argmax": _extract_argmax,
     "packed_exact": _extract_packed_exact,
     "packed_quant": _extract_packed_quant,
+    # decomposition modes (results intentionally wrong; see --decompose):
+    "base_only": _extract_trivial,       # matmul + stores
+    "lse_only": _extract_trivial,        # + online lse
+    "extract_only": _extract_packed_exact,  # + extraction passes
+    "merge_only": _extract_trivial,      # + running top-K merge
+    # real extraction+merge without the online-lse (isolates lse cost;
+    # the trivial modes above can crash Mosaic's lowering via DCE)
+    "packed_exact_nolse": _extract_packed_exact,
+}
+
+# mode -> (do_lse, do_merge)
+_MODE_PARTS = {
+    "base_only": (False, False),
+    "lse_only": (True, False),
+    "extract_only": (False, False),
+    "merge_only": (False, True),
+    "packed_exact_nolse": (False, True),
 }
 
 
@@ -141,30 +168,36 @@ def _kernel(h_ref, w_ref, b_ref, vals_ref, idx_ref, lse_ref,
     tile = jnp.where(col < v_real, tile, _NEG)
 
     tile_vals, tile_idx = _EXTRACTORS[mode](tile, col, k)
+    do_lse, do_merge = _MODE_PARTS.get(mode, (True, True))
 
-    m_old = ms_scratch[0:1, cols].T
-    s_old = ms_scratch[1:2, cols].T
-    tile_max = tile_vals[:, 0:1]
-    m_new = jnp.maximum(m_old, tile_max)
-    s_new = (s_old * jnp.exp(m_old - m_new)
-             + jnp.sum(jnp.exp(tile - m_new), axis=-1, keepdims=True))
-    ms_scratch[0:1, cols] = m_new.T
-    ms_scratch[1:2, cols] = s_new.T
+    if do_lse:
+        m_old = ms_scratch[0:1, cols].T
+        s_old = ms_scratch[1:2, cols].T
+        tile_max = tile_vals[:, 0:1]
+        m_new = jnp.maximum(m_old, tile_max)
+        s_new = (s_old * jnp.exp(m_old - m_new)
+                 + jnp.sum(jnp.exp(tile - m_new), axis=-1, keepdims=True))
+        ms_scratch[0:1, cols] = m_new.T
+        ms_scratch[1:2, cols] = s_new.T
 
-    cat_v = jnp.concatenate([rv_scratch[:, cols].T, tile_vals], axis=-1)
-    cat_i = jnp.concatenate([ri_scratch[:, cols].T, tile_idx], axis=-1)
-    sel_v, sel_i = [], []
-    for _ in range(k):
-        v = jnp.max(cat_v, axis=-1, keepdims=True)
-        is_max = cat_v == v
-        idx = jnp.min(jnp.where(is_max, cat_i, jnp.int32(2**30)),
-                      axis=-1, keepdims=True)
-        sel_v.append(v)
-        sel_i.append(idx)
-        cat_v = jnp.where(jnp.logical_and(cat_v == v, cat_i == idx),
-                          _NEG, cat_v)
-    rv_scratch[:, cols] = jnp.concatenate(sel_v, axis=-1).T
-    ri_scratch[:, cols] = jnp.concatenate(sel_i, axis=-1).T
+    if do_merge:
+        cat_v = jnp.concatenate([rv_scratch[:, cols].T, tile_vals], axis=-1)
+        cat_i = jnp.concatenate([ri_scratch[:, cols].T, tile_idx], axis=-1)
+        sel_v, sel_i = [], []
+        for _ in range(k):
+            v = jnp.max(cat_v, axis=-1, keepdims=True)
+            is_max = cat_v == v
+            idx = jnp.min(jnp.where(is_max, cat_i, jnp.int32(2**30)),
+                          axis=-1, keepdims=True)
+            sel_v.append(v)
+            sel_i.append(idx)
+            cat_v = jnp.where(jnp.logical_and(cat_v == v, cat_i == idx),
+                              _NEG, cat_v)
+        rv_scratch[:, cols] = jnp.concatenate(sel_v, axis=-1).T
+        ri_scratch[:, cols] = jnp.concatenate(sel_i, axis=-1).T
+    else:
+        rv_scratch[:, cols] = tile_vals[:, :k].T
+        ri_scratch[:, cols] = tile_idx[:, :k].T
 
     @pl.when(j == n_v - 1)
     def _publish():

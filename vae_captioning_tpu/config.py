@@ -122,6 +122,14 @@ class Config:
                                 # one Pallas kernel; effective only with
                                 # fused_decode on TPU, 1 decoder layer,
                                 # bfloat16 compute
+    fused_lstm_seq: bool = True  # fuse the TRAIN-path teacher-forcing
+                                # LSTM sequence (fwd + custom-VJP bwd)
+                                # into Pallas kernels — state rides VMEM
+                                # across the sequence instead of XLA's
+                                # per-step DUS stacking (ops/
+                                # fused_lstm_seq.py).  TPU + bfloat16 +
+                                # lane-aligned dims only; False = the
+                                # lax.scan path
     decode_int8: bool = False   # APPROXIMATE: int8-quantized logits
                                 # matmul in beam/greedy decode (2× MXU
                                 # on v5e); top-K can differ where logit

@@ -55,10 +55,15 @@ class CVAEModel(nn.Module):
     decode_std: float = 0.1
     cluster_seed: int = 0
     compute_dtype: Any = jnp.float32
+    use_fused_seq: bool = False
 
     @classmethod
     def from_config(cls, cfg: Config) -> "CVAEModel":
         assert cfg.vocab_size, "set cfg.vocab_size (from the Vocabulary) first"
+        import jax as _jax
+        use_fused_seq = (cfg.fused_lstm_seq
+                         and _jax.default_backend() == "tpu"
+                         and cfg.compute_dtype == "bfloat16")
         return cls(
             vocab_size=cfg.vocab_size,
             embed_size=cfg.embed_size,
@@ -77,6 +82,7 @@ class CVAEModel(nn.Module):
             decode_std=cfg.std,
             cluster_seed=cfg.seed,
             compute_dtype=jnp.dtype(cfg.compute_dtype),
+            use_fused_seq=use_fused_seq,
         )
 
     # ------------------------------------------------------------------
@@ -90,13 +96,15 @@ class CVAEModel(nn.Module):
                 hidden_size=self.encoder_hidden, latent_size=self.latent_size,
                 num_layers=self.encoder_layers, prior=self.prior,
                 num_clusters=self.num_clusters, use_c_v=self.use_c_v,
-                compute_dtype=self.compute_dtype, name="encoder")
+                compute_dtype=self.compute_dtype,
+                use_fused_seq=self.use_fused_seq, name="encoder")
         self.decoder = Decoder(
             vocab_size=self.vocab_size, embed_size=self.embed_size,
             hidden_size=self.decoder_hidden, num_layers=self.decoder_layers,
             use_c_v=self.use_c_v, dec_keep_rate=self.dec_keep_rate,
             dec_lstm_drop=self.dec_lstm_drop,
-            compute_dtype=self.compute_dtype, name="decoder")
+            compute_dtype=self.compute_dtype,
+            use_fused_seq=self.use_fused_seq, name="decoder")
         # fixed (non-trainable) cluster means, deterministic in the seed —
         # replaces the pickled matrix of utils/vae_utils.py:6-31
         self.cluster_means = jnp.asarray(dist.init_cluster_means(
@@ -125,11 +133,15 @@ class CVAEModel(nn.Module):
         c_v: Optional[jax.Array] = None,  # [B, 90]
         deterministic: bool = True,
         return_hidden: bool = False,
+        time_major: bool = False,
     ) -> Dict[str, jax.Array]:
         """Training/eval forward.  K = captions per image is inferred from
         the leading dims and features are tiled on device (main.py:84-89).
         ``return_hidden`` yields out['hidden'] ([B·K, T, H], pre-logits)
-        instead of out['logits'] for the fused-CE loss path."""
+        instead of out['logits'] for the fused-CE loss path.
+        ``time_major`` flips logits/hidden to [T, B·K, ·] (the LSTM
+        scan's native layout — the train step uses it with transposed
+        labels; see compute_loss)."""
         B = features.shape[0]
         K = enc_captions.shape[0] // B
         images_fv, c_emb = self._embed_conditioning(features, c_v)
@@ -143,8 +155,13 @@ class CVAEModel(nn.Module):
         if not self.no_encoder:
             q_mean, q_std = self.encoder(images_fv, enc_captions, lengths,
                                          c_emb=c_emb, c_v=c_v)
+            # z is stored in compute dtype: its only consumer is the
+            # z_proj matmul, which casts to compute dtype regardless —
+            # identical values downstream, half the [B·K, K_z·L] HBM
+            # traffic (77 MB f32 at reference train shapes)
             z = dist.sample_gaussian(self.make_rng("z"), q_mean, q_std,
-                                     self.gen_z_samples)  # [B*K, K_z, L]
+                                     self.gen_z_samples,
+                                     dtype=self.compute_dtype)  # [B*K, K_z, L]
             z_flat = z.reshape(z.shape[0], -1)
             out["q_mean"], out["q_std"] = q_mean, q_std
 
@@ -152,7 +169,7 @@ class CVAEModel(nn.Module):
                                         deterministic)
         seq_out = self.decoder.teacher_forcing(
             carry, dec_captions, lengths, deterministic,
-            return_hidden=return_hidden)
+            return_hidden=return_hidden, time_major=time_major)
         out["hidden" if return_hidden else "logits"] = seq_out
         if c_v is not None:
             out["c_v"] = c_v
@@ -230,12 +247,19 @@ def compute_loss(
     annealing: jax.Array | float = 1.0,
     logits_params: Optional[Tuple[jax.Array, jax.Array]] = None,
     gmm_true_kl: bool = False,
+    time_major: bool = False,
 ) -> Dict[str, jax.Array]:
     """Masked CE + prior KL + annealing → lower bound.
 
     rec: sparse softmax CE over all positions, PAD masked via label sign,
     mean over real tokens (main.py:152-158).  total = rec + ann·kld/10 —
     the reference's fixed /10 KL weight (main.py:172-174).
+
+    ``time_major=True``: the model forward ran with ``time_major=True``
+    and ``labels`` is [T, B·K] (caller transposes — an s32 [B·K, T]
+    relayout is ~100 KB vs the 63-126 MB activation relayouts it
+    avoids).  The CE math is positionwise so only the KL row mask needs
+    the axis flip.
 
     When the model forward produced ``hidden`` instead of ``logits``
     (return_hidden=True), pass the rnn_logits (kernel, bias) via
@@ -282,7 +306,7 @@ def compute_loss(
         rec_loss = jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
     # rows that are entirely padding (mesh-padded batches, images with
     # fewer than K captions) must not contribute to the KL mean either
-    row_mask = jnp.any(labels != 0, axis=-1)
+    row_mask = jnp.any(labels != 0, axis=0 if time_major else -1)
 
     if no_encoder:
         kld = jnp.asarray(0.0, jnp.float32)

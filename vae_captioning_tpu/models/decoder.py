@@ -31,6 +31,7 @@ class Decoder(nn.Module):
     dec_keep_rate: float = 1.0     # caption-input dropout keep rate (ref :85-87)
     dec_lstm_drop: float = 1.0     # LSTM output dropout keep rate (ref :88-95)
     compute_dtype: Any = jnp.float32
+    use_fused_seq: bool = False
 
     def setup(self):
         self.embedding = nn.Embed(self.vocab_size, self.embed_size,
@@ -38,6 +39,7 @@ class Decoder(nn.Module):
         self.lstm = LSTMStack(self.hidden_size, self.num_layers,
                               self.compute_dtype,
                               output_keep_rate=self.dec_lstm_drop,
+                              use_fused_seq=self.use_fused_seq,
                               name="lstm")
         self.z_proj = nn.Dense(self.embed_size, name="z_rnn")  # ref :111-112
         self.logits_head = nn.Dense(self.vocab_size, name="rnn_logits",
@@ -106,10 +108,15 @@ class Decoder(nn.Module):
         lengths: jax.Array,      # [B]
         deterministic: bool = True,
         return_hidden: bool = False,
+        time_major: bool = False,
     ) -> jax.Array:
         """Full-sequence logits [B, T, V] in COMPUTE dtype, or the
         pre-projection hidden states [B, T, H] when ``return_hidden``
         (input to the fused linear-CE kernel, ops/fused_ce.py).
+        ``time_major=True`` returns [T, B, V] / [T, B, H] — the scan's
+        native layout; the train step uses it so no [·, ·, H] relayout
+        copies sit between the LSTM scan, the logits head, and the CE
+        (pair it with transposed [T, B] labels).
 
         The head computes in compute dtype (bf16 on TPU), so an
         astype(f32) here adds no precision — it only doubles the HBM
@@ -122,7 +129,8 @@ class Decoder(nn.Module):
             keep = self.dec_keep_rate
             mask = jax.random.bernoulli(self.make_rng("dropout"), keep, x.shape)
             x = jnp.where(mask, x / keep, 0.0)
-        _, outputs = self.lstm(carry, x, lengths, deterministic)
+        _, outputs = self.lstm(carry, x, lengths, deterministic,
+                               time_major_out=time_major)
         if return_hidden:
             return outputs
         return self.logits_head(outputs)

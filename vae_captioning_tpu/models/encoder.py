@@ -36,12 +36,14 @@ class Encoder(nn.Module):
     num_clusters: int = 90
     use_c_v: bool = False
     compute_dtype: Any = jnp.float32
+    use_fused_seq: bool = False
 
     def setup(self):
         self.embedding = nn.Embed(self.vocab_size, self.embed_size,
                                   name="enc_embeddings")
         self.lstm = LSTMStack(self.hidden_size, self.num_layers,
-                              self.compute_dtype, name="lstm")
+                              self.compute_dtype,
+                              use_fused_seq=self.use_fused_seq, name="lstm")
         if self.prior == "Normal":
             self.mean_head = nn.Dense(self.latent_size, name="lz_mean")
             self.logstd_head = nn.Dense(self.latent_size, name="lz_logstd")
@@ -65,7 +67,11 @@ class Encoder(nn.Module):
         carry, _ = self.lstm.step(carry, images_fv)
         if c_emb is not None and self.use_c_v:
             carry, _ = self.lstm.step(carry, c_emb)
-        carry, _ = self.lstm(carry, self.embedding(captions), lengths)
+        # collect_outputs=False: only the final carry is read below, so
+        # the [T, B, H] output stack (63 MB at train shapes) is never
+        # materialized
+        carry, _ = self.lstm(carry, self.embedding(captions), lengths,
+                             collect_outputs=False)
         # the reference reads the FIRST layer's hidden state
         # (final_state[0][1], ref :56-58) — identical at the default one
         # layer, and matched here for multi-layer parity

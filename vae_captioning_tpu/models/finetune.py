@@ -50,10 +50,11 @@ class FineTuneModel(nn.Module):
                  dec_captions: jax.Array, lengths: jax.Array,
                  c_v: Optional[jax.Array] = None,
                  deterministic: bool = True,
-                 return_hidden: bool = False) -> Dict[str, jax.Array]:
+                 return_hidden: bool = False,
+                 time_major: bool = False) -> Dict[str, jax.Array]:
         features = self.vgg16(images, deterministic)
         return self.cvae(features, enc_captions, dec_captions, lengths, c_v,
-                         deterministic, return_hidden)
+                         deterministic, return_hidden, time_major)
 
     def decode_init(self, images: jax.Array,
                     c_v: Optional[jax.Array] = None) -> Carry:

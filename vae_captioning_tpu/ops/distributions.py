@@ -23,10 +23,12 @@ _EPS_DIV = 1e-7
 
 
 def sample_gaussian(key: jax.Array, mean: jax.Array, std: jax.Array,
-                    num_samples: int) -> jax.Array:
+                    num_samples: int, dtype=None) -> jax.Array:
     """Draw ``num_samples`` reparameterized z's.
 
-    mean/std: [B, L] (std may be scalar) → returns [B, K, L].
+    mean/std: [B, L] (std may be scalar) → returns [B, K, L], cast to
+    ``dtype`` when given (the train path stores z in compute dtype — its
+    only consumer is a matmul that casts anyway).
 
     The reference draws [K, B, L] and reshapes to [B, K*L] *sample-major*
     (``vae_model/decoder.py:108-113``), which interleaves different
@@ -40,7 +42,8 @@ def sample_gaussian(key: jax.Array, mean: jax.Array, std: jax.Array,
     std = jnp.asarray(std, mean.dtype)
     if std.ndim == 2:  # per-dim [B, L] → broadcast over the sample axis
         std = std[:, None, :]
-    return mean[:, None, :] + std * eps
+    z = mean[:, None, :] + std * eps
+    return z if dtype is None else z.astype(dtype)
 
 
 def kl_standard_normal(mean: jax.Array, std: jax.Array,

@@ -53,10 +53,13 @@ class LSTMCell(nn.Module):
     hidden_size: int
     compute_dtype: Any = jnp.float32
     forget_bias: float = 1.0
+    use_fused_seq: bool = False   # Pallas sequence kernel (TPU + bf16)
 
     @nn.compact
     def __call__(self, carry: LayerCarry, x: jax.Array,
-                 mask: jax.Array | None = None):
+                 mask: jax.Array | None = None,
+                 time_major_out: bool = False,
+                 collect_outputs: bool = True):
         c, h = carry
         in_features = x.shape[-1]
         kernel = self.param(
@@ -90,7 +93,27 @@ class LSTMCell(nn.Module):
         # after (the round-3 trace showed the post-matmul transpose as a
         # ~3 ms/step 126 MB copy).
         assert mask is not None
+        if (self.use_fused_seq and in_features % 128 == 0
+                and self.hidden_size % 128 == 0
+                and self.forget_bias == 1.0):
+            # fully fused Pallas sequence kernel (fwd + custom-VJP bwd):
+            # state rides VMEM scratch across the whole sequence — no
+            # per-step DUS stacking / convert fusions (ops/fused_lstm_seq)
+            from vae_captioning_tpu.ops.fused_lstm_seq import fused_lstm_seq
+            (c, h), hs = fused_lstm_seq(
+                x.swapaxes(0, 1), kernel[:in_features],
+                kernel[in_features:], bias, c, h, mask)
+            if not collect_outputs:
+                return (c, h), None
+            return (c, h), hs if time_major_out else hs.swapaxes(0, 1)
+
         w_h = kernel[in_features:].astype(cd)
+        # (bf16 storage for xw / the stacked outputs was tried and
+        # REVERTED: XLA outlined the converts into 24 per-step
+        # [1, B, H] convert+DUS fusions costing +2.3 ms/step at train
+        # shapes — the scan stacking pattern, not the byte count, is
+        # the bottleneck.  The fused Pallas sequence kernel
+        # (ops/fused_lstm_seq.py) is the real fix.)
         xw = jax.lax.dot_general(
             x.swapaxes(0, 1).astype(cd), kernel[:in_features].astype(cd),
             (((2,), (0,)), ((), ())),
@@ -104,10 +127,14 @@ class LSTMCell(nn.Module):
                 preferred_element_type=jnp.float32) + bias
             new_c, new_h = gate_math(gates, c, h)
             m = m_t[:, None]
-            return ((jnp.where(m, new_c, c), jnp.where(m, new_h, h)),
-                    jnp.where(m, new_h, 0.0))
+            new_ch = (jnp.where(m, new_c, c), jnp.where(m, new_h, h))
+            if not collect_outputs:
+                return new_ch, None
+            return new_ch, jnp.where(m, new_h, 0.0)
 
         (c, h), hs = jax.lax.scan(body, (c, h), (xw, mask.T))
+        if hs is None or time_major_out:
+            return (c, h), hs                            # [T, B, H] / None
         return (c, h), hs.swapaxes(0, 1)                 # [B, T, H]
 
 
@@ -125,10 +152,12 @@ class LSTMStack(nn.Module):
     num_layers: int = 1
     compute_dtype: Any = jnp.float32
     output_keep_rate: float = 1.0
+    use_fused_seq: bool = False
 
     def setup(self):
         self.cells = [
-            LSTMCell(self.hidden_size, self.compute_dtype, name=f"cell_{i}")
+            LSTMCell(self.hidden_size, self.compute_dtype,
+                     use_fused_seq=self.use_fused_seq, name=f"cell_{i}")
             for i in range(self.num_layers)
         ]
 
@@ -155,11 +184,20 @@ class LSTMStack(nn.Module):
         return tuple(new_carry), inp
 
     def __call__(self, carry: Carry, xs: jax.Array, lengths: jax.Array,
-                 deterministic: bool = True) -> Tuple[Carry, jax.Array]:
+                 deterministic: bool = True,
+                 time_major_out: bool = False,
+                 collect_outputs: bool = True) -> Tuple[Carry, jax.Array]:
         """Masked sequence run (dynamic_rnn semantics).
 
         xs: [B, T, E], lengths: [B] → (final_carry_at_length, outputs [B, T, H]).
         Steps at t >= length copy the carry through and emit zeros.
+
+        ``time_major_out`` returns the outputs as [T, B, H] (the scan's
+        native layout — skips a 63 MB relayout per call at train shapes);
+        ``collect_outputs=False`` skips stacking outputs entirely (the
+        encoder only uses the final carry).  Both apply to the LAST
+        layer only; with multiple layers the inter-layer handoff keeps
+        the batch-major convention.
         """
         T = xs.shape[1]
         t_index = jnp.arange(T, dtype=lengths.dtype)
@@ -172,8 +210,12 @@ class LSTMStack(nn.Module):
             # (downstream carries are mask-frozen either way).
             new_carry = []
             inp = xs
-            for cell, layer_carry in zip(self.cells, carry):
-                layer_carry, inp = cell(layer_carry, inp, mask)
+            last = len(self.cells) - 1
+            for li, (cell, layer_carry) in enumerate(zip(self.cells, carry)):
+                layer_carry, inp = cell(
+                    layer_carry, inp, mask,
+                    time_major_out=(li == last and time_major_out),
+                    collect_outputs=(li != last or collect_outputs))
                 new_carry.append(layer_carry)
             return tuple(new_carry), inp
 
@@ -192,4 +234,9 @@ class LSTMStack(nn.Module):
             split_rngs={"params": False, "dropout": True},
             in_axes=1, out_axes=1,
         )
-        return scan(self, carry, (xs, mask))
+        carry, hs = scan(self, carry, (xs, mask))
+        if not collect_outputs:
+            hs = None
+        elif time_major_out:
+            hs = hs.swapaxes(0, 1)
+        return carry, hs

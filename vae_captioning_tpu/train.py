@@ -204,15 +204,19 @@ def make_train_step(model: CVAEModel, tx: optax.GradientTransformation,
         annealing = dist.kl_annealing(state.step, cfg.ann_param, force_one)
 
         def loss_fn(params):
+            # time-major: logits/hidden come out [T, B·K, ·] (the LSTM
+            # scan's native layout) and the s32 labels are transposed to
+            # match — keeps 63-126 MB activation relayouts out of the
+            # step (round-3 xplane trace)
             out = model.apply({"params": params}, features, enc, dec,
                               lengths, c_v if needs_cv else None,
                               deterministic=False, rngs=rngs,
-                              return_hidden=use_fused_ce)
+                              return_hidden=use_fused_ce, time_major=True)
             losses = compute_loss(
-                out, enc, prior=cfg.prior, no_encoder=cfg.no_encoder,
+                out, enc.T, prior=cfg.prior, no_encoder=cfg.no_encoder,
                 cluster_means=cluster_means, annealing=annealing,
                 logits_params=logits_head_params(params) if use_fused_ce
-                else None, gmm_true_kl=cfg.gmm_true_kl)
+                else None, gmm_true_kl=cfg.gmm_true_kl, time_major=True)
             return losses["loss"], losses
 
         grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
@@ -238,13 +242,14 @@ def make_eval_step(model: CVAEModel, cfg: Config):
         out = model.apply({"params": params}, features, enc, dec, lengths,
                           c_v if needs_cv else None,
                           deterministic=True, rngs=rngs,
-                          return_hidden=use_fused_ce)
-        losses = compute_loss(out, enc, prior=cfg.prior,
+                          return_hidden=use_fused_ce, time_major=True)
+        losses = compute_loss(out, enc.T, prior=cfg.prior,
                               no_encoder=cfg.no_encoder,
                               cluster_means=cluster_means, annealing=1.0,
                               logits_params=logits_head_params(params)
                               if use_fused_ce else None,
-                              gmm_true_kl=cfg.gmm_true_kl)
+                              gmm_true_kl=cfg.gmm_true_kl,
+                              time_major=True)
         return losses["rec_loss"]
 
     return jax.jit(eval_fn)
