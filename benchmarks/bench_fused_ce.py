@@ -34,11 +34,16 @@ from timing_util import marginal_ms  # noqa: E402 (shared two-point slope helper
 
 def main() -> None:
     from vae_captioning_tpu.ops.fused_ce import (fused_linear_ce,
+                                                 fused_linear_ce_hybrid,
                                                  fused_linear_ce_xla)
 
+    impls = {"fused": fused_linear_ce, "hybrid": fused_linear_ce_hybrid,
+             "xla": fused_linear_ce_xla}
     p = argparse.ArgumentParser()
     p.add_argument("--rows", type=int, nargs="+",
                    default=[7680, 15360, 30720, 61440])
+    p.add_argument("--impls", nargs="+", default=list(impls),
+                   choices=list(impls))
     p.add_argument("--iters", type=int, default=7)
     args = p.parse_args()
 
@@ -51,8 +56,8 @@ def main() -> None:
         mask = (rng.random(M) > 0.2).astype(np.float32)
         weights = jnp.asarray(mask / mask.sum())
 
-        for name, op in (("fused", fused_linear_ce),
-                         ("xla", fused_linear_ce_xla)):
+        for name in args.impls:
+            op = impls[name]
             # grads wrt h, w, b — what the train step needs
             import functools
 

@@ -22,6 +22,15 @@ def interpreted(monkeypatch):
     yield
 
 
+IMPLS = ["flash", "hybrid"]
+
+
+@pytest.fixture(params=IMPLS)
+def impl(request):
+    return (fc.fused_linear_ce if request.param == "flash"
+            else fc.fused_linear_ce_hybrid)
+
+
 def _problem(M=300, H=64, V=2000, seed=0):
     rng = np.random.default_rng(seed)
     h = jnp.asarray(rng.normal(size=(M, H)).astype(np.float32))
@@ -33,16 +42,16 @@ def _problem(M=300, H=64, V=2000, seed=0):
     return h, w, b, labels, weights
 
 
-def test_forward_matches_xla(interpreted):
+def test_forward_matches_xla(interpreted, impl):
     args = _problem()
-    l1 = float(fc.fused_linear_ce(*args))
+    l1 = float(impl(*args))
     l2 = float(fc.fused_linear_ce_xla(*args))
     assert l1 == pytest.approx(l2, rel=1e-5)
 
 
-def test_grads_match_autodiff(interpreted):
+def test_grads_match_autodiff(interpreted, impl):
     args = _problem(seed=1)
-    g1 = jax.grad(fc.fused_linear_ce, argnums=(0, 1, 2))(*args)
+    g1 = jax.grad(impl, argnums=(0, 1, 2))(*args)
     g2 = jax.grad(fc.fused_linear_ce_xla, argnums=(0, 1, 2))(*args)
     for name, a, c in zip("hwb", g1, g2):
         a, c = np.asarray(a), np.asarray(c)
@@ -51,19 +60,19 @@ def test_grads_match_autodiff(interpreted):
         assert rel < 2e-2, (name, rel)
 
 
-def test_masked_rows_get_zero_grad(interpreted):
+def test_masked_rows_get_zero_grad(interpreted, impl):
     h, w, b, labels, weights = _problem(seed=2)
     weights = weights.at[:5].set(0.0)
-    dh = jax.grad(fc.fused_linear_ce)(h, w, b, labels, weights)
+    dh = jax.grad(impl)(h, w, b, labels, weights)
     np.testing.assert_array_equal(np.asarray(dh[:5]), 0.0)
     assert np.abs(np.asarray(dh[5:])).max() > 0
 
 
-def test_weights_cotangent_matches_autodiff(interpreted):
+def test_weights_cotangent_matches_autodiff(interpreted, impl):
     """Regression (review finding): d loss / d weights must be the true
     per-row CE (lse − label_logit), not silent zeros."""
     args = _problem(seed=3)
-    dw1 = jax.grad(fc.fused_linear_ce, argnums=4)(*args)
+    dw1 = jax.grad(impl, argnums=4)(*args)
     dw2 = jax.grad(fc.fused_linear_ce_xla, argnums=4)(*args)
     assert np.abs(np.asarray(dw1)).max() > 0
     np.testing.assert_allclose(np.asarray(dw1), np.asarray(dw2),

@@ -108,13 +108,23 @@ class Config:
     mesh_axis: str = "dp"       # data-parallel mesh axis name
     profile: bool = False       # emit jax.profiler traces
     debug_nans: bool = False
-    fused_ce: bool = False      # fused linear-CE loss kernel (TPU only):
+    fused_ce: bool = False      # FLASH linear-CE loss kernel (TPU only):
                                 # a MEMORY lever — logits never
                                 # materialized in HBM — NOT a speedup:
                                 # XLA's unfused path measures 15-27%
                                 # FASTER at reference shapes (PERF.md
                                 # fused-CE table); opt in only when
-                                # B·T·V logits would not fit
+                                # B·T·V logits would not fit.  Takes
+                                # precedence over ce_hybrid when set
+    ce_hybrid: bool = False     # HYBRID linear-CE kernels (TPU only):
+                                # bf16 logits written once, reductions
+                                # fused into the matmul passes.  NOT a
+                                # speedup either: the in-train A/B
+                                # measured 19.7 vs 19.0 ms (XLA's CE is
+                                # already within ~5% of the best fused
+                                # schedule; see PERF.md round-3 CE
+                                # postmortem).  Kept as a validated
+                                # alternative schedule
     fused_decode: bool = True   # Pallas decode kernels on TPU (kill
                                 # switch for debugging: False = pure XLA)
     fused_lstm_step: bool = True  # fuse the decode LSTM step (embedding
@@ -122,6 +132,14 @@ class Config:
                                 # one Pallas kernel; effective only with
                                 # fused_decode on TPU, 1 decoder layer,
                                 # bfloat16 compute
+    fused_z: bool = True        # fuse the train-path z-sampling +
+                                # z_proj into one Pallas kernel (on-chip
+                                # PRNG, samples never hit HBM; custom
+                                # VJP regenerates eps).  Same N(mu, s²)
+                                # law, different random stream than the
+                                # XLA threefry path (like the decode
+                                # projected-space draw).  TPU + bf16
+                                # only; ops/fused_z.py
     fused_lstm_seq: bool = True  # fuse the TRAIN-path teacher-forcing
                                 # LSTM sequence (fwd + custom-VJP bwd)
                                 # into Pallas kernels — state rides VMEM

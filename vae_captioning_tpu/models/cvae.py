@@ -56,6 +56,7 @@ class CVAEModel(nn.Module):
     cluster_seed: int = 0
     compute_dtype: Any = jnp.float32
     use_fused_seq: bool = False
+    use_fused_z: bool = False
 
     @classmethod
     def from_config(cls, cfg: Config) -> "CVAEModel":
@@ -64,6 +65,9 @@ class CVAEModel(nn.Module):
         use_fused_seq = (cfg.fused_lstm_seq
                          and _jax.default_backend() == "tpu"
                          and cfg.compute_dtype == "bfloat16")
+        use_fused_z = (cfg.fused_z
+                       and _jax.default_backend() == "tpu"
+                       and cfg.compute_dtype == "bfloat16")
         return cls(
             vocab_size=cfg.vocab_size,
             embed_size=cfg.embed_size,
@@ -83,6 +87,7 @@ class CVAEModel(nn.Module):
             cluster_seed=cfg.seed,
             compute_dtype=jnp.dtype(cfg.compute_dtype),
             use_fused_seq=use_fused_seq,
+            use_fused_z=use_fused_z,
         )
 
     # ------------------------------------------------------------------
@@ -152,21 +157,30 @@ class CVAEModel(nn.Module):
 
         out: Dict[str, jax.Array] = {}
         z_flat = None
+        z_dec = None
         if not self.no_encoder:
             q_mean, q_std = self.encoder(images_fv, enc_captions, lengths,
                                          c_emb=c_emb, c_v=c_v)
-            # z is stored in compute dtype: its only consumer is the
-            # z_proj matmul, which casts to compute dtype regardless —
-            # identical values downstream, half the [B·K, K_z·L] HBM
-            # traffic (77 MB f32 at reference train shapes)
-            z = dist.sample_gaussian(self.make_rng("z"), q_mean, q_std,
-                                     self.gen_z_samples,
-                                     dtype=self.compute_dtype)  # [B*K, K_z, L]
-            z_flat = z.reshape(z.shape[0], -1)
+            if self.use_fused_z and not self.is_initializing():
+                # sampling + z_proj in one Pallas kernel: the [B·K,
+                # K_z·L] samples never reach HBM (ops/fused_z.py; the
+                # init pass takes the plain branch so z_proj params are
+                # created either way)
+                z_dec = self.decoder.sample_z_embedding_fused(
+                    self.make_rng("z"), q_mean, q_std, self.gen_z_samples)
+            else:
+                # z is stored in compute dtype: its only consumer is the
+                # z_proj matmul, which casts to compute dtype regardless —
+                # identical values downstream, half the [B·K, K_z·L] HBM
+                # traffic (77 MB f32 at reference train shapes)
+                z = dist.sample_gaussian(self.make_rng("z"), q_mean, q_std,
+                                         self.gen_z_samples,
+                                         dtype=self.compute_dtype)  # [B*K, K_z, L]
+                z_flat = z.reshape(z.shape[0], -1)
             out["q_mean"], out["q_std"] = q_mean, q_std
 
         carry = self.decoder.init_state(images_fv, c_emb, z_flat,
-                                        deterministic)
+                                        deterministic, z_dec=z_dec)
         seq_out = self.decoder.teacher_forcing(
             carry, dec_captions, lengths, deterministic,
             return_hidden=return_hidden, time_major=time_major)
@@ -248,6 +262,7 @@ def compute_loss(
     logits_params: Optional[Tuple[jax.Array, jax.Array]] = None,
     gmm_true_kl: bool = False,
     time_major: bool = False,
+    ce_kernel: str = "hybrid",
 ) -> Dict[str, jax.Array]:
     """Masked CE + prior KL + annealing → lower bound.
 
@@ -263,19 +278,25 @@ def compute_loss(
 
     When the model forward produced ``hidden`` instead of ``logits``
     (return_hidden=True), pass the rnn_logits (kernel, bias) via
-    ``logits_params`` and the CE runs through the fused Pallas kernel —
-    [N, V] logits never reach HBM (ops/fused_ce.py).
+    ``logits_params`` and the CE runs through a fused Pallas kernel
+    pair selected by ``ce_kernel`` (ops/fused_ce.py): "flash" — [N, V]
+    logits never reach HBM (memory lever); "hybrid" — bf16 logits
+    written once, all other full-[N, V] passes fused (the fast path at
+    reference shapes).
     """
     if "hidden" in outputs:
-        from vae_captioning_tpu.ops.fused_ce import fused_linear_ce
+        from vae_captioning_tpu.ops.fused_ce import (fused_linear_ce,
+                                                     fused_linear_ce_hybrid)
+        ce_fn = (fused_linear_ce if ce_kernel == "flash"
+                 else fused_linear_ce_hybrid)
         hidden = outputs["hidden"]
         H = hidden.shape[-1]
         labels_flat = labels.reshape(-1)
         mask_flat = (labels_flat != 0).astype(jnp.float32)
         ce_weights = mask_flat / jnp.maximum(jnp.sum(mask_flat), 1.0)
         w, b = logits_params
-        rec_loss = fused_linear_ce(hidden.reshape(-1, H), w, b,
-                                   labels_flat, ce_weights)
+        rec_loss = ce_fn(hidden.reshape(-1, H), w, b,
+                         labels_flat, ce_weights)
     else:
         # CE with f32 accumulation over compute-dtype (bf16) logits.
         # Same math as optax.softmax_cross_entropy_with_integer_labels

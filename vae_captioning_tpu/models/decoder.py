@@ -101,6 +101,26 @@ class Decoder(nn.Module):
         return mean_part + jnp.asarray(std, jnp.float32) * noise
 
     # ------------------------------------------------------------------
+    def sample_z_embedding_fused(self, rng: jax.Array, q_mean: jax.Array,
+                                 q_std: jax.Array,
+                                 n_samples: int) -> jax.Array:
+        """TRAIN-time z step input [B, E]: the K_z reparameterized
+        draws and the ``z_proj`` matmul fused in one Pallas kernel
+        (on-chip PRNG; ops/fused_z.py) — the [B, K_z·L] samples never
+        reach HBM.  Same N(q_mean, q_std²) law as the plain path,
+        different random stream.  Unlike ``gen_z_embedding`` (decode:
+        scalar std → one E-dim projected draw), the per-example q_std
+        makes the projected covariance example-dependent, so the draws
+        stay in latent space but are consumed tile-by-tile."""
+        from vae_captioning_tpu.ops.fused_z import fused_sample_project
+        kernel = self.z_proj.variables["params"]["kernel"]
+        bias = self.z_proj.variables["params"]["bias"]
+        seed = jax.lax.bitcast_convert_type(
+            jax.random.key_data(rng).reshape(2), jnp.int32)
+        return fused_sample_project(seed, q_mean, q_std, kernel, bias,
+                                    n_samples)
+
+    # ------------------------------------------------------------------
     def teacher_forcing(
         self,
         carry: Carry,

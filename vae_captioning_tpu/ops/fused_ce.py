@@ -286,6 +286,258 @@ fused_linear_ce.defvjp(_fwd, _bwd)
 
 
 # ----------------------------------------------------------------------
+# hybrid variant: logits ARE materialized (bf16), but every reduction
+# that XLA runs as its own full-[M, V] HBM pass is fused away
+# ----------------------------------------------------------------------
+#
+# The round-3 train-step trace showed XLA's CE at ~95% of roofline but
+# structured as FIVE full passes over the [M, V] logits: fwd matmul +
+# write (1.9 ms at reference shapes), a separate max/sumexp read
+# (1.03), dW (1.93), dh (2.02), and a separate db read (0.94).  The
+# flash kernel above avoids the logits write entirely but pays the
+# matmul THREE times (fwd + both backward recomputes) — a net loss at
+# V = 11.5k (PERF.md).  This hybrid takes the third option: write the
+# bf16 logits once, fold lse + the label logit into the forward matmul
+# pass, and fold db into the dW pass; dh stays a plain jnp expression
+# (XLA fuses the softmax recompute into the matmul at roofline).
+# Net: 5 passes → 3.
+
+
+def _fwd_mat_kernel(h_ref, w_ref, b_ref, lab_ref,
+                    lg_ref, lse_ref, ll_ref,
+                    ms_scratch, ll_scratch, *, v_real: int, bv: int):
+    j = pl.program_id(0)   # vocab tile (outer)
+    i = pl.program_id(1)   # row block (inner)
+    BM = h_ref.shape[0]
+    cols = pl.ds(i * BM, BM)
+
+    @pl.when(j == 0)
+    def _init():
+        ms_scratch[0:1, cols] = jnp.full((1, BM), _NEG)
+        ms_scratch[1:2, cols] = jnp.zeros((1, BM))
+        ll_scratch[0:1, cols] = jnp.zeros((1, BM))
+
+    tile = jax.lax.dot_general(
+        h_ref[:], w_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b_ref[0, :][None, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, tile.shape, 1) + j * bv
+    tile = jnp.where(col < v_real, tile, _NEG)
+    # bf16 residual; pad cols hold _NEG → exp(·−lse) = 0 in the backward
+    lg_ref[:, :] = tile.astype(lg_ref.dtype)
+
+    m_old = ms_scratch[0:1, cols].T
+    s_old = ms_scratch[1:2, cols].T
+    tile_max = jnp.max(tile, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_old, tile_max)
+    s_new = (s_old * jnp.exp(m_old - m_new)
+             + jnp.sum(jnp.exp(tile - m_new), axis=-1, keepdims=True))
+    ms_scratch[0:1, cols] = m_new.T
+    ms_scratch[1:2, cols] = s_new.T
+
+    lab = lab_ref[:, 0:1]
+    hit = jnp.sum(jnp.where(col == lab, tile, 0.0), axis=-1, keepdims=True)
+    ll_scratch[0:1, cols] = (ll_scratch[0:1, cols].T + hit).T
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _publish():
+        lse_ref[:, :] = (ms_scratch[0:1, cols]
+                         + jnp.log(ms_scratch[1:2, cols])).T
+        ll_ref[:, :] = ll_scratch[0:1, cols].T
+
+
+def _dwdb_mat_kernel(h_ref, lg_ref, lab_ref, lse_ref, gw_ref,
+                     dw_ref, db_ref, *, v_real: int, bv: int):
+    """dW/db from the MATERIALIZED logits (no recompute matmul).  The
+    revisited output blocks are the accumulators — vocab outer keeps
+    their revisits consecutive."""
+    j = pl.program_id(0)   # vocab tile (OUTER)
+    i = pl.program_id(1)   # row block (inner)
+
+    @pl.when(i == 0)
+    def _init():
+        dw_ref[:, :] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
+        db_ref[:, :] = jnp.zeros(db_ref.shape, db_ref.dtype)
+
+    col = (jax.lax.broadcasted_iota(jnp.int32, lg_ref.shape, 1) + j * bv)
+    p = jnp.exp(lg_ref[:, :].astype(jnp.float32) - lse_ref[:, 0:1])
+    dl = (p - (col == lab_ref[:, 0:1]).astype(jnp.float32)) * gw_ref[:, 0:1]
+    dw_ref[:, :] += jax.lax.dot_general(
+        h_ref[:], dl.astype(jnp.bfloat16),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    db_ref[:, :] += jnp.sum(dl, axis=0, keepdims=True)
+
+
+_BMD = 512  # dh row block: fewer W re-reads than 256 (60 vs 120 sweeps
+            # at reference rows) while keeping VMEM ≈ 8 MB, clear of the
+            # 16 MiB scoped-VMEM edge
+
+
+def _dh_mat_kernel(lg_ref, w_ref, lab_ref, lse_ref, gw_ref, dh_ref,
+                   acc, *, bv: int):
+    """dh from the MATERIALIZED logits: dl computed in-register (XLA
+    would write the [M, V] dl16 to HBM as its own pass — elementwise
+    producers do not fuse into dot operands)."""
+    i = pl.program_id(0)   # row block (OUTER)
+    j = pl.program_id(1)   # vocab tile (inner)
+
+    @pl.when(j == 0)
+    def _init():
+        acc[:, :] = jnp.zeros_like(acc)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, lg_ref.shape, 1) + j * bv
+    p = jnp.exp(lg_ref[:, :].astype(jnp.float32) - lse_ref[:, 0:1])
+    dl = (p - (col == lab_ref[:, 0:1]).astype(jnp.float32)) * gw_ref[:, 0:1]
+    acc[:, :] += jax.lax.dot_general(
+        dl.astype(jnp.bfloat16), w_ref[:],
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _publish():
+        dh_ref[:, :] = acc[:, :]
+
+
+@jax.custom_vjp
+def fused_linear_ce_hybrid(h: jax.Array, w: jax.Array, b: jax.Array,
+                           labels: jax.Array, weights: jax.Array
+                           ) -> jax.Array:
+    """Same contract as ``fused_linear_ce`` (Σ weights·CE), hybrid
+    schedule: bf16 logits written once, reductions fused (see above)."""
+    loss, _ = _fwd_mat(h, w, b, labels, weights)
+    return loss
+
+
+def _fwd_mat(h, w, b, labels, weights):
+    h16, w16, bf, lab, wt, M, V = _pad_all(h, w, b, labels, weights)
+    Mp, Vp = h16.shape[0], w16.shape[1]
+    H = h16.shape[1]
+    lg, lse, ll = pl.pallas_call(
+        functools.partial(_fwd_mat_kernel, v_real=V, bv=_BV),
+        grid=(Vp // _BV, Mp // _BM),
+        in_specs=[
+            pl.BlockSpec((_BM, H), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, _BV), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BV), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BM, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_BM, _BV), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BM, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BM, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Mp, Vp), jnp.bfloat16),
+            jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Mp, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, Mp), jnp.float32),
+            pltpu.VMEM((1, Mp), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * H * Vp,
+            bytes_accessed=(Mp * H * 2 * (Vp // _BV) + H * Vp * 2
+                            + Mp * Vp * 2),
+            transcendentals=2 * Mp * Vp),
+    )(h16, w16, bf.reshape(1, -1), lab.reshape(-1, 1))
+    loss = jnp.sum(wt[:M] * (lse[:M, 0] - ll[:M, 0]))
+    return loss, (h, w, labels, weights, lg, lse, ll)
+
+
+def _bwd_mat(res, g):
+    h, w, labels, weights, lg, lse, ll = res
+    h16, w16, bf, lab, wt, M, V = _pad_all(
+        h, w, jnp.zeros((w.shape[1],), w.dtype), labels, weights)
+    Mp, Vp = h16.shape[0], w16.shape[1]
+    H = h16.shape[1]
+    gw = (g * wt).reshape(-1, 1)
+
+    # dh kernel reads the materialized logits (zero-pad rows to the dh
+    # block; gw=0 on pads makes their dl exactly zero regardless of lg)
+    mpad = (-Mp) % _BMD
+    lg_d, lab_d, lse_d, gw_d = lg, lab.reshape(-1, 1), lse, gw
+    if mpad:
+        lg_d = jnp.pad(lg_d, ((0, mpad), (0, 0)))
+        lab_d = jnp.pad(lab_d, ((0, mpad), (0, 0)), constant_values=-1)
+        lse_d = jnp.pad(lse_d, ((0, mpad), (0, 0)))
+        gw_d = jnp.pad(gw_d, ((0, mpad), (0, 0)))
+    Md = Mp + mpad
+    dh = pl.pallas_call(
+        functools.partial(_dh_mat_kernel, bv=_BV),
+        grid=(Md // _BMD, Vp // _BV),     # rows OUTER
+        in_specs=[
+            pl.BlockSpec((_BMD, _BV), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, _BV), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BMD, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BMD, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BMD, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_BMD, H), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Md, H), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((_BMD, H), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Md * H * Vp,
+            bytes_accessed=(Md * Vp * 2
+                            + H * Vp * 2 * (Md // _BMD) + Md * H * 4),
+            transcendentals=Md * Vp),
+    )(lg_d, w16, lab_d, lse_d, gw_d)
+
+    dw, db = pl.pallas_call(
+        functools.partial(_dwdb_mat_kernel, v_real=V, bv=_BV),
+        grid=(Vp // _BV, Mp // _BM),          # vocab OUTER
+        in_specs=[
+            pl.BlockSpec((_BM, H), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BM, _BV), lambda j, i: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BM, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BM, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BM, 1), lambda j, i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((H, _BV), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _BV), lambda j, i: (0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((H, Vp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Vp), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * H * Vp,
+            bytes_accessed=(Mp * H * 2 * (Vp // _BV) + Mp * Vp * 2
+                            + H * Vp * 4),
+            transcendentals=Mp * Vp),
+    )(h16, lg, lab.reshape(-1, 1), lse, gw)
+
+    M_real = h.shape[0]
+    dweights = (g * (lse[:M_real, 0] - ll[:M_real, 0])).astype(weights.dtype)
+    return (dh[:M_real].astype(h.dtype),
+            dw[:, :V].astype(w.dtype),
+            db[0, :V].astype(w.dtype),
+            None, dweights)
+
+
+fused_linear_ce_hybrid.defvjp(_fwd_mat, _bwd_mat)
+
+
+# ----------------------------------------------------------------------
 def fused_linear_ce_xla(h, w, b, labels, weights):
     """Reference implementation (CPU path / tests), same bf16 matmul."""
     logits = jax.lax.dot_general(

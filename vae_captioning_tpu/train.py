@@ -194,7 +194,9 @@ def make_train_step(model: CVAEModel, tx: optax.GradientTransformation,
     cluster_means = jnp.asarray(dist.init_cluster_means(
         cfg.num_clusters, cfg.latent_size, cfg.seed))
     needs_cv = cfg.needs_cluster_vectors
-    use_fused_ce = cfg.fused_ce and jax.default_backend() == "tpu"
+    on_tpu = jax.default_backend() == "tpu"
+    use_fused_ce = (cfg.fused_ce or cfg.ce_hybrid) and on_tpu
+    ce_kernel = "flash" if cfg.fused_ce else "hybrid"
 
     def step_fn(state: TrainState, features, enc, dec, lengths, c_v, rng):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -216,7 +218,8 @@ def make_train_step(model: CVAEModel, tx: optax.GradientTransformation,
                 out, enc.T, prior=cfg.prior, no_encoder=cfg.no_encoder,
                 cluster_means=cluster_means, annealing=annealing,
                 logits_params=logits_head_params(params) if use_fused_ce
-                else None, gmm_true_kl=cfg.gmm_true_kl, time_major=True)
+                else None, gmm_true_kl=cfg.gmm_true_kl, time_major=True,
+                ce_kernel=ce_kernel)
             return losses["loss"], losses
 
         grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
@@ -235,7 +238,9 @@ def make_eval_step(model: CVAEModel, cfg: Config):
     cluster_means = jnp.asarray(dist.init_cluster_means(
         cfg.num_clusters, cfg.latent_size, cfg.seed))
     needs_cv = cfg.needs_cluster_vectors
-    use_fused_ce = cfg.fused_ce and jax.default_backend() == "tpu"
+    use_fused_ce = (cfg.fused_ce or cfg.ce_hybrid) and \
+        jax.default_backend() == "tpu"
+    ce_kernel = "flash" if cfg.fused_ce else "hybrid"
 
     def eval_fn(params, features, enc, dec, lengths, c_v, rng):
         rngs = {"z": rng, "sample": jax.random.fold_in(rng, 1)}
@@ -249,7 +254,7 @@ def make_eval_step(model: CVAEModel, cfg: Config):
                               logits_params=logits_head_params(params)
                               if use_fused_ce else None,
                               gmm_true_kl=cfg.gmm_true_kl,
-                              time_major=True)
+                              time_major=True, ce_kernel=ce_kernel)
         return losses["rec_loss"]
 
     return jax.jit(eval_fn)
