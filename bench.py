@@ -9,7 +9,21 @@ latent 150, 100 z samples, vocab ~11.5k) end-to-end on device: features →
 cluster-conditioned z draw → init state → batched beam search, one jit,
 no host round-trips inside the timed region.
 
-Prints ONE JSON line.
+Timeout-proof progressive emission (VERDICT r3 #1): round 3's single
+all-or-nothing batch-4096 run hit the driver timeout (rc 124) and left NO
+metric line.  Now the bench
+
+1. compiles + times a SMALL batch (1024) first and prints its metric JSON
+   line immediately (flushed) — a number exists within the first compile;
+2. upgrades to batch 4096 (the best measured per-chip point) and prints
+   the better line;
+3. runs a watchdog thread that, at ``VCT_BENCH_BUDGET_S`` seconds
+   (default 720), re-prints the best-so-far line and ``os._exit(0)`` —
+   so even a hung stage-2 compile leaves exit code 0 and a parseable
+   final line.
+
+Every metric line has the same shape; later lines are always >= earlier
+ones (best-so-far), so whichever line a log parser takes is valid.
 
 ``--trained N`` (VERDICT r1 #8) first fits N synthetic steps on a
 structured task (features anchored per caption template) so the decode
@@ -23,6 +37,8 @@ from __future__ import annotations
 
 import json
 import os
+import sys
+import threading
 import time
 
 import jax
@@ -42,10 +58,61 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 BASELINE_PER_CHIP = 625.0  # 5000 img/s on 8 chips
 BEAM = 3
-BATCH = 4096  # batch-size sweep in PERF.md; 4096 best per-chip throughput
-              # (2048 -> 27.5k, 4096 -> 35.9k caps/s with the round-2 stack)
+# progressive batch schedule: 1024 compiles in ~2-3 min through the relay
+# and already beats baseline ~30x; 4096 is the measured per-chip optimum
+# (PERF.md batch sweep: 2048 -> 27.5k, 4096 -> 35.9k caps/s round-2 stack)
+BATCHES = (1024, 4096)
 GEN_MAX_LEN = 30
 VOCAB = 11500
+
+_start = time.monotonic()
+_best = {"value": -1.0, "line": None}
+_best_lock = threading.Lock()
+
+
+def _log(msg: str) -> None:
+    """Progress note on stderr (never after a metric line on the exit
+    path — the final stdout line must stay the metric JSON)."""
+    print(f"[bench +{time.monotonic() - _start:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def _emit(metric: str, per_chip: float) -> None:
+    """Print a metric line iff it improves on the best so far."""
+    with _best_lock:
+        if per_chip <= _best["value"]:
+            return
+        line = json.dumps({
+            "metric": metric,
+            "value": round(per_chip, 2),
+            "unit": "captions/sec/chip",
+            "vs_baseline": round(per_chip / BASELINE_PER_CHIP, 3),
+        })
+        _best["value"] = per_chip
+        _best["line"] = line
+    print(line, flush=True)
+
+
+def _exit_with_best(code: int = 0) -> None:
+    """Re-print the best-so-far line (so it is the LAST stdout line even
+    if stderr noise followed the original print) and hard-exit."""
+    with _best_lock:
+        if _best["line"] is not None:
+            print(_best["line"], flush=True)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(code)
+
+
+def _arm_watchdog(budget_s: float) -> None:
+    def fire():
+        _log(f"watchdog: budget {budget_s:.0f}s reached, exiting with "
+             f"best-so-far")
+        _exit_with_best(0)
+
+    t = threading.Timer(budget_s, fire)
+    t.daemon = True
+    t.start()
 
 
 def _train_synthetic(cfg, model, params, vocab, steps: int,
@@ -95,6 +162,42 @@ def _train_synthetic(cfg, model, params, vocab, steps: int,
     return state.params, anchors, cvs
 
 
+def _make_inputs(cfg, batch: int, rng, trained_pool=None):
+    if trained_pool is not None:
+        anchors, cvs = trained_pool
+        ids = rng.integers(0, anchors.shape[0], batch)
+        features = anchors[ids] + 0.05 * rng.normal(
+            size=(batch, cfg.cnn_feature_size)).astype(np.float32)
+        return jnp.asarray(features), jnp.asarray(cvs[ids])
+    features = jnp.asarray(rng.normal(size=(batch, cfg.cnn_feature_size))
+                           .astype(np.float32))
+    c_v = rng.random((batch, cfg.num_clusters)).astype(np.float32)
+    c_v = jnp.asarray(c_v / c_v.sum(-1, keepdims=True))
+    return features, c_v
+
+
+def _time_decode(beam_fn, params, features, c_v, iters: int) -> float:
+    key = jax.random.PRNGKey(0)
+    # warmup / compile.  NOTE: on the axon relay, block_until_ready alone
+    # does not force remote execution — a host transfer does, so timing
+    # fetches the token array each iteration (61 KB, negligible).
+    for i in range(2):
+        tokens, scores = beam_fn(params, features, c_v,
+                                 jax.random.fold_in(key, 100 + i))
+        np.asarray(tokens)
+
+    # median per-iteration time: robust to transient relay/queue
+    # contention (observed run-to-run swings on the shared tunnel)
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        tokens, scores = beam_fn(params, features, c_v,
+                                 jax.random.fold_in(key, i))
+        np.asarray(tokens)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
 def main(argv=None) -> None:
     import argparse
 
@@ -108,10 +211,20 @@ def main(argv=None) -> None:
     p.add_argument("--trained", type=int, default=0, metavar="STEPS",
                    help="train STEPS synthetic steps first; time decode "
                         "on the peaked (early-exit-active) model")
-    p.add_argument("--batch", type=int, default=BATCH)
+    p.add_argument("--batches", type=int, nargs="+", default=list(BATCHES),
+                   help="progressive batch schedule (each stage emits a "
+                        "best-so-far metric line)")
     p.add_argument("--vocab", type=int, default=VOCAB)
+    p.add_argument("--budget", type=float,
+                   default=float(os.environ.get("VCT_BENCH_BUDGET_S", 720)),
+                   help="wall-clock budget in seconds; at budget the "
+                        "watchdog prints the best line and exits 0")
     args = p.parse_args(argv)
-    batch, vocab_size = args.batch, args.vocab
+    vocab_size = args.vocab
+    _arm_watchdog(args.budget)
+
+    metric = ("captions_per_sec_per_chip_beam3"
+              + ("_trained" if args.trained else ""))
 
     cfg = Config(prior="AG", use_c_v=True, beam_size=BEAM,
                  gen_max_len=GEN_MAX_LEN, sample_gen="beam_search")
@@ -121,55 +234,39 @@ def main(argv=None) -> None:
                        + [f"w{i}" for i in range(vocab_size - 4)])
     assert vocab.vocab_size == vocab_size
 
+    _log(f"init model (devices={len(jax.devices())}, "
+         f"backend={jax.default_backend()})")
     model, params = init_model(cfg, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
+    trained_pool = None
     if args.trained:
         params, anchors, cvs = _train_synthetic(cfg, model, params, vocab,
                                                 args.trained)
-        # decode on in-distribution features: the trained model peaks and
-        # EOSes early — exactly the early-exit path this variant covers
-        ids = rng.integers(0, anchors.shape[0], batch)
-        features = anchors[ids] + 0.05 * rng.normal(
-            size=(batch, cfg.cnn_feature_size)).astype(np.float32)
-        features = jnp.asarray(features)
-        c_v = jnp.asarray(cvs[ids])
-    else:
-        features = jnp.asarray(rng.normal(size=(batch, cfg.cnn_feature_size))
-                               .astype(np.float32))
-        c_v = rng.random((batch, cfg.num_clusters)).astype(np.float32)
-        c_v = jnp.asarray(c_v / c_v.sum(-1, keepdims=True))
+        trained_pool = (anchors, cvs)
     fns = make_decode_fns(CVAEModel.from_config(cfg), cfg, vocab)
     beam_fn = fns["beam_search"]
 
-    key = jax.random.PRNGKey(0)
-    # warmup / compile.  NOTE: on the axon relay, block_until_ready alone
-    # does not force remote execution — a host transfer does, so timing
-    # fetches the token array each iteration (61 KB, negligible).
-    for i in range(2):
-        tokens, scores = beam_fn(params, features, c_v,
-                                 jax.random.fold_in(key, 100 + i))
-        np.asarray(tokens)
-
-    # median per-iteration time: robust to transient relay/queue
-    # contention (observed run-to-run swings on the shared tunnel)
-    times = []
-    for i in range(9):
-        t0 = time.perf_counter()
-        tokens, scores = beam_fn(params, features, c_v,
-                                 jax.random.fold_in(key, i))
-        np.asarray(tokens)
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
-
     n_chips = len(jax.devices())
-    per_chip = batch / dt / n_chips
-    print(json.dumps({
-        "metric": "captions_per_sec_per_chip_beam3"
-                  + ("_trained" if args.trained else ""),
-        "value": round(per_chip, 2),
-        "unit": "captions/sec/chip",
-        "vs_baseline": round(per_chip / BASELINE_PER_CHIP, 3),
-    }))
+    for stage, batch in enumerate(args.batches):
+        # skip an upgrade stage we clearly can't finish: compile+upload
+        # grows ~linearly in batch; require at least 2.5x the previous
+        # stage's total wall time to remain (measured 4096/1024 compile
+        # ratio is ~2x through the relay; 2.5 adds headroom)
+        elapsed = time.monotonic() - _start
+        if stage > 0 and args.budget - elapsed < 2.5 * elapsed:
+            _log(f"skip batch {batch}: {args.budget - elapsed:.0f}s left "
+                 f"of {args.budget:.0f}s budget")
+            break
+        _log(f"stage {stage}: batch {batch} compile+time")
+        features, c_v = _make_inputs(cfg, batch, rng, trained_pool)
+        dt = _time_decode(beam_fn, params, features, c_v,
+                          iters=5 if stage == 0 else 9)
+        per_chip = batch / dt / n_chips
+        _log(f"stage {stage}: batch {batch} -> {dt * 1e3:.2f} ms/iter, "
+             f"{per_chip:.0f} caps/s/chip")
+        _emit(metric, per_chip)
+
+    _exit_with_best(0)
 
 
 if __name__ == "__main__":

@@ -119,10 +119,11 @@ def test_cluster_vectors_roundtrip(tmp_path, mini_coco):
 
 
 def test_cluster_lookup_zero_fallback():
-    out = cv_lib.lookup_batch({"a.jpg": np.ones(91, np.float32)},
-                              ["a.jpg", "missing.jpg"])
+    out, n_fallbacks = cv_lib.lookup_batch(
+        {"a.jpg": np.ones(91, np.float32)}, ["a.jpg", "missing.jpg"])
     assert out.shape == (2, 91)
     assert out[1].sum() == 0.0  # ref utils/batch_gen.py:113-118
+    assert n_fallbacks == 1
 
 
 def test_cluster_vectors_from_detections():
@@ -296,15 +297,29 @@ def test_detections_json_cli(tmp_path, mini_coco):
 
 
 def test_cluster_vector_fallback_counting():
+    # per-call counts (no module global): each Batch carries its own
+    # fallback count so prefetch threads can't misattribute it (ADVICE r3)
     vecs = {"a.jpg": np.ones(cv_lib.NUM_CATEGORIES, np.float32)}
-    cv_lib.reset_fallback_count()
-    out = cv_lib.lookup_batch(vecs, ["a.jpg", "b.jpg", "c.jpg"])
+    out, n = cv_lib.lookup_batch(vecs, ["a.jpg", "b.jpg", "c.jpg"])
     assert out.shape == (3, cv_lib.NUM_CATEGORIES)
-    assert cv_lib.fallback_count() == 2
-    cv_lib.lookup_batch(None, ["d.jpg"])
-    assert cv_lib.fallback_count() == 3
-    cv_lib.reset_fallback_count()
-    assert cv_lib.fallback_count() == 0
+    assert n == 2
+    _, n2 = cv_lib.lookup_batch(None, ["d.jpg"])
+    assert n2 == 1
+
+
+def test_batch_carries_cv_fallback_count(mini_coco, tmp_path):
+    # the batcher attaches the per-batch count; generate_captions
+    # aggregates it into the caller's stats dict (ADVICE r3)
+    from vae_captioning_tpu.data.dataset import Data
+    cfg = Config(coco_dir=mini_coco, prior="AG",
+                 cache_dir=str(tmp_path / "cache"),
+                 obj_vectors_dir=str(tmp_path / "obj"))
+    os.makedirs(cfg.obj_vectors_dir, exist_ok=True)
+    data = Data(cfg, extract_features=False)
+    batcher = data.val_batcher()
+    batcher.cluster_vectors = None  # force every lookup to fall back
+    batches = list(batcher.eval_batches())
+    assert sum(b.cv_fallbacks for b in batches) == len(batcher.filenames)
 
 
 def _cv_data(mini_coco, tmp_path):

@@ -169,3 +169,25 @@ def test_model_integration_cpu_interpret(monkeypatch):
     assert abs(float(l_f["rec_loss"]) - float(l_p["rec_loss"])) < 5e-2
     assert abs(float(l_f["kld"]) - float(l_p["kld"])) / (
         abs(float(l_p["kld"])) + 1e-6) < 5e-3
+
+
+def test_debug_mask_check_rejects_non_monotone(interpreted, monkeypatch):
+    """ADVICE r3: the fused backward silently mis-computes dWh/dh for
+    non-lengths-derived masks; the opt-in debug check must catch them."""
+    monkeypatch.setattr(fls, "DEBUG_MASK_CHECK", True)
+    T, B, E, H = 4, 8, 128, 128
+    x, wx, wh, b, c0, h0, mask = _inputs(T, B, E, H, seed=5)
+    interpreted(x, wx, wh, b, c0, h0, mask)  # lengths-derived mask: fine
+
+    bad = np.asarray(mask).copy()
+    bad[0] = [True, False, True, False]  # 0→1 step: non-monotone
+    with pytest.raises(Exception, match="non-monotone"):
+        interpreted(x, wx, wh, b, c0, h0, jnp.asarray(bad))
+
+
+def test_assert_monotone_mask_unit():
+    ok = np.array([[1, 1, 0, 0], [1, 1, 1, 1], [1, 0, 0, 0]], bool)
+    fls._assert_monotone_mask(ok)
+    bad = np.array([[1, 0, 1, 0]], bool)
+    with pytest.raises(ValueError, match="non-monotone"):
+        fls._assert_monotone_mask(bad)

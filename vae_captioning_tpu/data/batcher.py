@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -46,6 +46,7 @@ class Batch:
     cluster_vectors: np.ndarray     # [B, 90] float32 (index 0 already dropped)
     image_ids: Optional[np.ndarray] = None  # [B] int64 (val/test)
     valid: int = 0                  # number of non-padding examples
+    cv_fallbacks: int = 0           # images served the zero cluster vector
 
     @property
     def batch_size(self) -> int:
@@ -111,9 +112,10 @@ class CaptionBatcher:
         from vae_captioning_tpu.data.images import load_image_batch
         return load_image_batch(batch_files)
 
-    def _cluster_for(self, batch_files: List[str]) -> np.ndarray:
-        vecs = lookup_batch(self.cluster_vectors, batch_files)
-        return vecs[:, 1:]  # drop index 0 (ref ops/inference.py:21, main.py:236)
+    def _cluster_for(self, batch_files: List[str]) -> Tuple[np.ndarray, int]:
+        vecs, n_fallbacks = lookup_batch(self.cluster_vectors, batch_files)
+        # drop index 0 (ref ops/inference.py:21, main.py:236)
+        return vecs[:, 1:], n_fallbacks
 
     def _ids_for(self, batch_files: List[str]) -> np.ndarray:
         return np.asarray(
@@ -169,7 +171,7 @@ class CaptionBatcher:
             images = np.concatenate(
                 [images, np.zeros((pad_rows, *images.shape[1:]),
                                   dtype=images.dtype)])
-        cvecs = self._cluster_for(batch_files)
+        cvecs, cv_fallbacks = self._cluster_for(batch_files)
         if pad_rows:
             cvecs = np.concatenate(
                 [cvecs, np.zeros((pad_rows, cvecs.shape[1]),
@@ -181,7 +183,7 @@ class CaptionBatcher:
                 ids = np.concatenate([ids, -np.ones(pad_rows, dtype=np.int64)])
         return Batch(features=images, dec_inputs=dec, labels=lab,
                      lengths=lengths, cluster_vectors=cvecs,
-                     image_ids=ids, valid=valid)
+                     image_ids=ids, valid=valid, cv_fallbacks=cv_fallbacks)
 
     # ------------------------------------------------------------------
     def train_batches(self, num_captions: int = 1,
@@ -221,7 +223,7 @@ class CaptionBatcher:
             valid = len(chunk)
             pad_rows = self.batch_size - valid
             images = self._images_for(chunk)
-            cvecs = self._cluster_for(chunk)
+            cvecs, cv_fallbacks = self._cluster_for(chunk)
             if pad_rows:
                 images = np.concatenate(
                     [images, np.zeros((pad_rows, *images.shape[1:]),
@@ -236,7 +238,8 @@ class CaptionBatcher:
             dummy = np.zeros((self.batch_size, 1, T), dtype=np.int32)
             yield Batch(features=images, dec_inputs=dummy, labels=dummy,
                         lengths=np.zeros((self.batch_size, 1), dtype=np.int32),
-                        cluster_vectors=cvecs, image_ids=ids, valid=valid)
+                        cluster_vectors=cvecs, image_ids=ids, valid=valid,
+                        cv_fallbacks=cv_fallbacks)
 
 
 def repartition(

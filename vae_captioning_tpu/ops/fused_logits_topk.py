@@ -77,7 +77,16 @@ def _sortable(bits):
     faster VPU code than the mixed f32/int sweeps they replace (A/B at
     M=20480 k=10: 11.0 → 6.8 ms/step, benchmarks/bench_topk_variants.py)
     and the exact f32 value is recovered by the inverse transform — the
-    selection, tie-breaks, and values are bit-identical."""
+    selection, tie-breaks, and values are bit-identical.
+
+    Known edge (ADVICE r3, measure-zero for logits): the key maps -0.0
+    to -1 and +0.0 to 0, so when a row's k-th value is exactly 0.0 and
+    the row contains BOTH +0.0 and -0.0 there, the packed (k>4) path
+    tie-breaks to the earliest +0.0 column while the f32 (k<=4) path
+    tie-breaks across both signs — a k-dependent index choice between
+    equal values.  Canonicalizing zeros would add a VPU where-pass to a
+    schedule-sensitive sweep for an input real logits never produce
+    (exact ±0.0 collisions at the k-boundary); documented instead."""
     return bits ^ ((bits >> 31) & 0x7FFFFFFF)
 
 

@@ -39,16 +39,39 @@ Gradients are validated against jax.grad of the XLA reference
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BM = 256                      # rows per block
 _VMEM_LIMIT = 100 * 1024 * 1024  # dc/dh scratch is [B, H] f32 — see module doc
 _FORGET_BIAS = 1.0             # TF LSTMCell parity (utils/rnn_model.py:23-35)
+
+# Debug-mode guard (ADVICE r3): the backward is only correct for per-row
+# MONOTONE masks (True then False, i.e. lengths-derived) — hs stores
+# zeros at masked steps and h_prev for the dWh accumulation reads
+# hs[t-1], valid only because an unmasked step t implies t-1 was
+# unmasked.  Set VCT_CHECK_LSTM_MASK=1 (or flip the module flag) to
+# verify every mask at runtime via a host callback.
+DEBUG_MASK_CHECK = os.environ.get("VCT_CHECK_LSTM_MASK", "0") == "1"
+
+
+def _assert_monotone_mask(mask) -> None:
+    """Host-side check: every row must be 1...10...0 (no 0→1 step)."""
+    m = np.asarray(mask).astype(bool)
+    bad = np.logical_and(~m[:, :-1], m[:, 1:]).any(axis=1)
+    if bad.any():
+        rows = np.nonzero(bad)[0][:8].tolist()
+        raise ValueError(
+            "fused_lstm_seq: non-monotone mask rows "
+            f"{rows} — the fused backward computes wrong dWh/dh for "
+            "masks not derived from lengths; use the lax.scan path "
+            "(Config.fused_lstm_seq=False) for arbitrary masks")
 
 
 def _gate_slices(gates, H):
@@ -399,6 +422,8 @@ def fused_lstm_seq(x: jax.Array, wx: jax.Array, wh: jax.Array,
     """
     assert x.shape[-1] % 128 == 0 and c0.shape[-1] % 128 == 0, (
         "fused_lstm_seq needs lane-aligned E and H; use the scan path")
+    if DEBUG_MASK_CHECK:
+        jax.debug.callback(_assert_monotone_mask, mask)
     # f32 mask up front so the custom-VJP cotangent dtypes line up
     ct, ht, hs = _fls(x, wx, wh, b, c0, h0, mask.astype(jnp.float32))
     return (ct, ht), hs
