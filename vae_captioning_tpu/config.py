@@ -148,6 +148,12 @@ class Config:
                                 # fused_lstm_seq.py).  TPU + bfloat16 +
                                 # lane-aligned dims only; False = the
                                 # lax.scan path
+    fused_force: bool = False   # TEST/DEBUG: bypass the TPU-backend gate
+                                # on the fused_* flags (pair with Pallas
+                                # interpret mode, e.g. the multichip
+                                # dryrun's fused variant and
+                                # tests/test_kernel_shard.py — CPU-mesh
+                                # partition tests of the real kernels)
     decode_int8: bool = False   # APPROXIMATE: int8-quantized logits
                                 # matmul in beam/greedy decode (2× MXU
                                 # on v5e); top-K can differ where logit

@@ -65,12 +65,9 @@ class CVAEModel(nn.Module):
         # normalize before comparing: Config accepts both the string
         # "bfloat16" and jnp.bfloat16 for compute_dtype (ADVICE r3)
         is_bf16 = jnp.dtype(cfg.compute_dtype) == jnp.bfloat16
-        use_fused_seq = (cfg.fused_lstm_seq
-                         and _jax.default_backend() == "tpu"
-                         and is_bf16)
-        use_fused_z = (cfg.fused_z
-                       and _jax.default_backend() == "tpu"
-                       and is_bf16)
+        on_tpu = _jax.default_backend() == "tpu" or cfg.fused_force
+        use_fused_seq = cfg.fused_lstm_seq and on_tpu and is_bf16
+        use_fused_z = cfg.fused_z and on_tpu and is_bf16
         return cls(
             vocab_size=cfg.vocab_size,
             embed_size=cfg.embed_size,
@@ -290,16 +287,15 @@ def compute_loss(
     if "hidden" in outputs:
         from vae_captioning_tpu.ops.fused_ce import (fused_linear_ce,
                                                      fused_linear_ce_hybrid)
+        from vae_captioning_tpu.parallel.kernel_shard import linear_ce
         ce_fn = (fused_linear_ce if ce_kernel == "flash"
                  else fused_linear_ce_hybrid)
-        hidden = outputs["hidden"]
-        H = hidden.shape[-1]
-        labels_flat = labels.reshape(-1)
-        mask_flat = (labels_flat != 0).astype(jnp.float32)
-        ce_weights = mask_flat / jnp.maximum(jnp.sum(mask_flat), 1.0)
         w, b = logits_params
-        rec_loss = ce_fn(hidden.reshape(-1, H), w, b,
-                         labels_flat, ce_weights)
+        # flattening + PAD-mask weights happen inside linear_ce so a
+        # >1-device mesh can shard rows BEFORE the time/batch dims mix
+        # (parallel/kernel_shard.py; psums the mean's normalizer + sum)
+        rec_loss = linear_ce(ce_fn, outputs["hidden"], w, b, labels,
+                             batch_axis=1 if time_major else 0)
     else:
         # CE with f32 accumulation over compute-dtype (bf16) logits.
         # Same math as optax.softmax_cross_entropy_with_integer_labels

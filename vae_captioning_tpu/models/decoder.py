@@ -112,13 +112,15 @@ class Decoder(nn.Module):
         scalar std → one E-dim projected draw), the per-example q_std
         makes the projected covariance example-dependent, so the draws
         stay in latent space but are consumed tile-by-tile."""
-        from vae_captioning_tpu.ops.fused_z import fused_sample_project
+        # dp shard_map wrapper: per-shard rows + shard-distinct PRNG
+        # streams on a >1-device mesh (parallel/kernel_shard.py)
+        from vae_captioning_tpu.parallel.kernel_shard import sample_project
         kernel = self.z_proj.variables["params"]["kernel"]
         bias = self.z_proj.variables["params"]["bias"]
         seed = jax.lax.bitcast_convert_type(
             jax.random.key_data(rng).reshape(2), jnp.int32)
-        return fused_sample_project(seed, q_mean, q_std, kernel, bias,
-                                    n_samples)
+        return sample_project(seed, q_mean, q_std, kernel, bias,
+                              n_samples)
 
     # ------------------------------------------------------------------
     def teacher_forcing(

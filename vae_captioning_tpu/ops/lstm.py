@@ -98,9 +98,12 @@ class LSTMCell(nn.Module):
                 and self.forget_bias == 1.0):
             # fully fused Pallas sequence kernel (fwd + custom-VJP bwd):
             # state rides VMEM scratch across the whole sequence — no
-            # per-step DUS stacking / convert fusions (ops/fused_lstm_seq)
-            from vae_captioning_tpu.ops.fused_lstm_seq import fused_lstm_seq
-            (c, h), hs = fused_lstm_seq(
+            # per-step DUS stacking / convert fusions (ops/fused_lstm_seq).
+            # Routed through the dp shard_map wrapper: on a >1-device
+            # mesh each chip runs the kernel on its own rows
+            # (parallel/kernel_shard.py; no-op single-chip)
+            from vae_captioning_tpu.parallel.kernel_shard import lstm_seq
+            (c, h), hs = lstm_seq(
                 x.swapaxes(0, 1), kernel[:in_features],
                 kernel[in_features:], bias, c, h, mask)
             if not collect_outputs:

@@ -194,7 +194,7 @@ def make_train_step(model: CVAEModel, tx: optax.GradientTransformation,
     cluster_means = jnp.asarray(dist.init_cluster_means(
         cfg.num_clusters, cfg.latent_size, cfg.seed))
     needs_cv = cfg.needs_cluster_vectors
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = jax.default_backend() == "tpu" or cfg.fused_force
     use_fused_ce = (cfg.fused_ce or cfg.ce_hybrid) and on_tpu
     ce_kernel = "flash" if cfg.fused_ce else "hybrid"
 
@@ -239,7 +239,7 @@ def make_eval_step(model: CVAEModel, cfg: Config):
         cfg.num_clusters, cfg.latent_size, cfg.seed))
     needs_cv = cfg.needs_cluster_vectors
     use_fused_ce = (cfg.fused_ce or cfg.ce_hybrid) and \
-        jax.default_backend() == "tpu"
+        (jax.default_backend() == "tpu" or cfg.fused_force)
     ce_kernel = "flash" if cfg.fused_ce else "hybrid"
 
     def eval_fn(params, features, enc, dec, lengths, c_v, rng):
@@ -272,6 +272,10 @@ class Trainer:
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else mesh_lib.create_mesh(
             axis_name=cfg.mesh_axis)
+        # register the dp mesh for the train-path Pallas kernels: their
+        # shard_map wrappers read it at trace time (no-op on 1 device)
+        from vae_captioning_tpu.parallel import kernel_shard
+        kernel_shard.set_dp_mesh(self.mesh, cfg.mesh_axis)
         self.model, params = init_model(cfg, jax.random.PRNGKey(cfg.seed))
         self.tx = (make_finetune_optimizer(cfg) if cfg.fine_tune
                    else make_optimizer(cfg))
