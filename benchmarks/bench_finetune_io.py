@@ -34,24 +34,32 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def build_dataset(root: str, n_images: int, k: int, vocab: int, t_len: int):
+def build_dataset(root: str, n_images: int, k: int, vocab: int, t_len: int,
+                  threads: int = 8):
     import cv2
 
     from vae_captioning_tpu.data.native_loader import (RawImageStore,
                                                        pack_images_to_raw)
 
     img_dir = os.path.join(root, "imgs")
-    os.makedirs(img_dir, exist_ok=True)
-    rng = np.random.default_rng(0)
-    names = []
-    for i in range(n_images):
-        fn = f"img_{i:06d}.jpg"
-        cv2.imwrite(os.path.join(img_dir, fn),
-                    rng.integers(0, 255, (224, 224, 3), np.uint8))
-        names.append(fn)
     out_bin = os.path.join(root, "pack.bin")
-    pack_images_to_raw([img_dir], out_bin)
-    store = RawImageStore(out_bin, num_threads=8)
+    rng = np.random.default_rng(0)
+    names = [f"img_{i:06d}.jpg" for i in range(n_images)]
+    # pack is content-addressed by (root, n_images): reuse across runs —
+    # a 50k pack (7.5 GB) takes minutes to JPEG-encode
+    if not (os.path.exists(out_bin)
+            and os.path.exists(os.path.join(img_dir, names[-1]))):
+        os.makedirs(img_dir, exist_ok=True)
+        t0 = time.perf_counter()
+        for i, fn in enumerate(names):
+            path = os.path.join(img_dir, fn)
+            if not os.path.exists(path):
+                cv2.imwrite(path,
+                            rng.integers(0, 255, (224, 224, 3), np.uint8))
+        print(f"jpegs written in {time.perf_counter() - t0:.0f}s",
+              file=sys.stderr)
+        pack_images_to_raw([img_dir], out_bin)
+    store = RawImageStore(out_bin, num_threads=threads)
 
     captions = {}
     cluster_vectors = {}
@@ -66,12 +74,77 @@ def build_dataset(root: str, n_images: int, k: int, vocab: int, t_len: int):
     return names, captions, cluster_vectors, store
 
 
+def drop_page_cache() -> bool:
+    """Evict the OS page cache (root only) so the next pass measures
+    DISK, not RAM.  Returns False when the environment forbids it."""
+    try:
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("3\n")
+        return True
+    except OSError:
+        return False
+
+
+def loader_sweep(store, names, bs: int, tag: str) -> dict:
+    """One shuffled epoch through the native loader with the production
+    prefetch pattern (next batch's pages prefetched while the current
+    one is copied) — the IO half of the fine-tune hot loop."""
+    rng = np.random.default_rng(1)
+    order = rng.permutation(len(names))
+    files = [names[i] for i in order]
+    n = len(files) - len(files) % bs
+    t0 = time.perf_counter()
+    for start in range(0, n, bs):
+        nxt = files[start + bs:start + 2 * bs]
+        if nxt:
+            store.prefetch(nxt)
+        batch = store.get_batch(files[start:start + bs])
+    dt = time.perf_counter() - t0
+    img_bytes = int(np.prod(batch.shape[1:])) * batch.dtype.itemsize
+    res = {
+        "component": f"native_loader_sweep_{tag}",
+        "images": n,
+        "batch": bs,
+        "images_per_sec": round(n / dt, 1),
+        "gbytes_per_sec": round(n * img_bytes / dt / 1e9, 3),
+        "ms_per_batch": round(dt / (n // bs) * 1000, 3),
+    }
+    print(json.dumps(res), flush=True)
+    return res
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--images", type=int, default=1024)
     p.add_argument("--steps", type=int, default=40)
     p.add_argument("--bs", type=int, default=32)
+    p.add_argument("--root", default=None,
+                   help="pack directory (kept; reused when it exists)")
+    p.add_argument("--threads", type=int, default=8)
+    p.add_argument("--loader_only", action="store_true",
+                   help="measure the native loader's GB/s alone (no JAX, "
+                        "no device): cold page cache when droppable, then "
+                        "warm — VERDICT r3 #7's IO half")
     args = p.parse_args(argv)
+
+    if args.loader_only:
+        root = args.root or tempfile.mkdtemp(prefix="ft_io_")
+        os.makedirs(root, exist_ok=True)
+        t0 = time.perf_counter()
+        names, _, _, store = build_dataset(root, args.images, 1, 64, 24,
+                                           threads=args.threads)
+        print(f"pack ready in {time.perf_counter() - t0:.1f}s "
+              f"({args.images} images, "
+              f"{args.images * 224 * 224 * 3 / 1e9:.2f} GB)",
+              file=sys.stderr)
+        if drop_page_cache():
+            loader_sweep(store, names, args.bs, "cold")
+        else:
+            print("page cache not droppable; skipping cold pass",
+                  file=sys.stderr)
+        loader_sweep(store, names, args.bs, "warm")
+        store.close()
+        return
 
     import jax
 
