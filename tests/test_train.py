@@ -377,3 +377,30 @@ def test_kl_ignores_mesh_padding_rows():
     assert float(m1["kld"]) == pytest.approx(float(m2["kld"]), rel=1e-5)
     assert float(m1["rec_loss"]) == pytest.approx(float(m2["rec_loss"]),
                                                   rel=1e-5)
+
+
+def test_optax_flatten_parity():
+    """cfg.optax_flatten raveled-vector chain must produce the same
+    trajectory as the per-leaf chain (clip is a global norm, Adam is
+    elementwise — identity up to float assoc; checked over 10 steps)."""
+    from vae_captioning_tpu.train import _flatten_batch
+    traj = {}
+    for flat in (False, True):
+        cfg = small_config(prior="Normal", optax_flatten=flat,
+                           learning_rate=0.01)
+        model, params = init_model(cfg, jax.random.PRNGKey(0))
+        tx = make_optimizer(cfg)
+        state = TrainState.create(params, tx)
+        step = make_train_step(model, tx, cfg, donate=False)
+        args = [jnp.asarray(x) for x in _flatten_batch(make_host_batch())]
+        rng = jax.random.PRNGKey(1)
+        losses = []
+        for _ in range(10):
+            state, m = step(state, *args, rng)
+            losses.append(float(m["loss"]))
+        traj[flat] = (losses, state.params)
+    np.testing.assert_allclose(traj[False][0], traj[True][0], rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6),
+        traj[False][1], traj[True][1])

@@ -180,6 +180,16 @@ class Config:
     eval_metrics: bool = False  # per-epoch greedy decode of the holdout
                                 # split scored with in-repo BLEU/CIDEr-D
                                 # into the JSONL log (SURVEY §5 rebuild)
+    optax_flatten: bool = False  # wrap the non-finetune optimizer chain
+                                # in optax.flatten: params/grads ravel to
+                                # ONE vector so clip+Adam run as a few
+                                # fused vector ops instead of ~40 per-leaf
+                                # kernels (the train-step "misc bucket",
+                                # PERF.md round-3).  Mathematically
+                                # identical (clip is a global norm; Adam
+                                # is elementwise).  Not applied in
+                                # fine-tune mode (multi_transform's
+                                # label_fn needs the param tree)
     prefetch_batches: int = 2   # host-side batch-assembly lookahead on a
                                 # background thread (0 = inline); keeps
                                 # the device busy when assembly (JPEG

@@ -44,14 +44,16 @@ class Encoder(nn.Module):
         self.lstm = LSTMStack(self.hidden_size, self.num_layers,
                               self.compute_dtype,
                               use_fused_seq=self.use_fused_seq, name="lstm")
-        if self.prior == "Normal":
-            self.mean_head = nn.Dense(self.latent_size, name="lz_mean")
-            self.logstd_head = nn.Dense(self.latent_size, name="lz_logstd")
-        else:  # GMM / AG: fused per-cluster heads
-            self.mean_head = nn.Dense(self.num_clusters * self.latent_size,
-                                      name="cluster_means")
-            self.logstd_head = nn.Dense(self.num_clusters * self.latent_size,
-                                        name="cluster_logstds")
+        # ONE dense for (μ ‖ logσ): the reference builds separate
+        # lz_mean/lz_logstd layers (Normal, ref :60-66) and 90 per-cluster
+        # variable scopes ×2 (GMM/AG, ref :76-99) — here all heads are a
+        # single [H, 2·K·L] matmul so the MXU sees one large dot and XLA
+        # fuses the exp/combine epilogue into its output (train-step
+        # "misc bucket" lever, PERF.md round-4)
+        half = (self.latent_size if self.prior == "Normal"
+                else self.num_clusters * self.latent_size)
+        self.q_heads = nn.Dense(2 * half, name="q_heads")
+        self._q_half = half
 
     def __call__(
         self,
@@ -77,14 +79,15 @@ class Encoder(nn.Module):
         # layer, and matched here for multi-layer parity
         h = carry[0][1]
 
+        q = self.q_heads(h)                       # [B, 2·(K·)L] one dot
+        raw_mean, raw_logstd = q[:, :self._q_half], q[:, self._q_half:]
+
         if self.prior == "Normal":
-            mean = self.mean_head(h)
-            std = jnp.exp(self.logstd_head(h))
-            return mean, std
+            return raw_mean, jnp.exp(raw_logstd)
 
         K, L = self.num_clusters, self.latent_size
-        means = self.mean_head(h).reshape(B, K, L)
-        stds = jnp.exp(self.logstd_head(h)).reshape(B, K, L)
+        means = raw_mean.reshape(B, K, L)
+        stds = jnp.exp(raw_logstd).reshape(B, K, L)
 
         if self.prior == "GMM":
             assert c_v is not None, "GMM prior requires cluster vectors"

@@ -83,8 +83,19 @@ def _cnn_tx(cfg: Config) -> optax.GradientTransformation:
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
-    """The non-CNN optimizer chain (ref non_cnn_optimizer)."""
-    return _main_tx(cfg)
+    """The non-CNN optimizer chain (ref non_cnn_optimizer).
+
+    With ``cfg.optax_flatten`` the whole chain runs on one raveled
+    vector (``optax.flatten``): clip_by_global_norm's norm is the same
+    global norm and Adam is elementwise, so updates are bit-comparable
+    to the per-leaf path while XLA sees a handful of length-N vector
+    ops instead of ~#leaves small kernels.  All params are f32 masters
+    so the concatenation does not promote dtypes.
+    """
+    tx = _main_tx(cfg)
+    if getattr(cfg, "optax_flatten", False):
+        tx = optax.flatten(tx)
+    return tx
 
 
 def make_finetune_optimizer(cfg: Config) -> optax.GradientTransformation:
