@@ -13,10 +13,12 @@ Algorithms follow the canonical definitions:
     similarity, n = 1..4, count clipping, gaussian length penalty
     (σ = 6), ×10 scaling.
 
-METEOR is deliberately absent: the official implementation is the
-METEOR-1.5 Java jar with WordNet synonym and paraphrase tables — a
-lookalike without those resources would produce numbers that cannot be
-compared to published ones, which is worse than no number.
+METEOR ships as the clearly-renamed ``METEOR_es`` (eval/meteor.py):
+the official implementation is the METEOR-1.5 Java jar with WordNet
+synonym and paraphrase tables, unavailable here — ``METEOR_es`` is the
+published algorithm restricted to its exact+Porter-stem stages, for
+RELATIVE tracking only (its numbers must never be compared to published
+METEOR-1.5 results; see the comparability warning in eval/meteor.py).
 
 Inputs are whitespace-tokenized strings.  ``score_captions_json``
 normalizes both sides with ``ptb_tokenize``, which matches coco-caption's
@@ -264,6 +266,14 @@ def score_captions_json(results_json_path: str,
     out = {f"BLEU-{i+1}": round(b, 4) for i, b in enumerate(bleu)}
     out["ROUGE-L"] = round(rouge_l(hyps, refs), 4)
     out["CIDEr-D"] = round(cider_d(hyps, refs), 4)
+    # METEOR-ES: exact+stem METEOR, NOT comparable to METEOR-1.5 jar
+    # numbers (no WordNet synonymy) — relative tracking only, hence the
+    # suffixed key; see eval/meteor.py's comparability warning
+    from vae_captioning_tpu.eval.meteor import corpus_meteor_es
+    keys = sorted(hyps)
+    out["METEOR_es"] = round(corpus_meteor_es(
+        [hyps[k].split() for k in keys],
+        [[r.split() for r in refs[k]] for k in keys]), 4)
     out["scored_images"] = len(hyps)
     if missing:
         out["unscored_images"] = missing
