@@ -325,8 +325,14 @@ def main():
                      for c in caps[n_train + i]]
     bleu = corpus_bleu(hyps, refs)
     cider = cider_d(hyps, refs)
+    from vae_captioning_tpu.eval.meteor import corpus_meteor_es
+    from vae_captioning_tpu.eval.scorers import rouge_l
+    keys = sorted(hyps)
+    meteor = corpus_meteor_es([hyps[k].split() for k in keys],
+                              [[r.split() for r in refs[k]] for k in keys])
     print(f"\nheld-out (beam {cfg.beam_size}): BLEU-4={bleu[3]:.3f} "
-          f"CIDEr-D={cider:.3f}")
+          f"CIDEr-D={cider:.3f} ROUGE-L={rouge_l(hyps, refs):.3f} "
+          f"METEOR_es={meteor:.3f}")
     for i in range(3):
         print(f"  gen: '{hyps[str(i)]}'  |  ref: '{refs[str(i)][0]}'")
     return cider
