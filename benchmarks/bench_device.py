@@ -123,12 +123,13 @@ def bench_beam_body(batch=2048, beam=3, max_len=30):
     _emit("beam_body", ms, batch * beam, f"lanes/sec at B={batch} K={beam}")
 
 
-def bench_train_step(batch=256, k=5, t_len=24):
+def bench_train_step(batch=256, k=5, t_len=24, optax_flatten=False,
+                     label="train_step"):
     from vae_captioning_tpu.config import Config
     from vae_captioning_tpu.train import (TrainState, init_model,
                                           make_optimizer, make_train_step)
 
-    cfg = Config(prior="AG", use_c_v=True)
+    cfg = Config(prior="AG", use_c_v=True, optax_flatten=optax_flatten)
     cfg.vocab_size = 11500
     model, params = init_model(cfg, jax.random.PRNGKey(0))
     tx = make_optimizer(cfg)
@@ -159,7 +160,17 @@ def bench_train_step(batch=256, k=5, t_len=24):
         return out
 
     ms, _ = marginal_ms(run, n_lo=4, n_hi=16, reps=5)
-    _emit("train_step", ms, batch, f"images/sec at B={batch} K={k}")
+    _emit(label, ms, batch,
+          f"images/sec at B={batch} K={k} flatten={optax_flatten}")
+
+
+def bench_train_step_flatten_ab(batch=256, k=5, t_len=24):
+    """A/B of Config.optax_flatten (one raveled-vector optimizer update
+    vs ~40 per-leaf kernels) on the production train step."""
+    bench_train_step(batch, k, t_len, optax_flatten=False,
+                     label="train_step_leafwise")
+    bench_train_step(batch, k, t_len, optax_flatten=True,
+                     label="train_step_flatten")
 
 
 def bench_vgg16(batch=64):
@@ -230,8 +241,9 @@ def bench_finetune_step(batch=32, k=5, t_len=24):
 
 
 ALL = {"decode_step": bench_decode_step, "beam_body": bench_beam_body,
-       "train_step": bench_train_step, "vgg16": bench_vgg16,
-       "finetune_step": bench_finetune_step}
+       "train_step": bench_train_step,
+       "train_flatten_ab": bench_train_step_flatten_ab,
+       "vgg16": bench_vgg16, "finetune_step": bench_finetune_step}
 
 
 def main(argv=None):
