@@ -306,7 +306,8 @@ def test_make_quality_hook_scores_decodes():
     hook = make_quality_hook(cfg, vocab, refs)
     out = hook(params, _FakeBatcher(n_batches=2, with_ids=True),
                jax.random.PRNGKey(1))
-    assert set(out) == {"val_CIDEr-D", "val_BLEU-4"}
+    assert set(out) == {"val_CIDEr-D", "val_BLEU-4", "val_ROUGE-L",
+                        "val_METEOR_es"}
     assert all(np.isfinite(v) and v >= 0.0 for v in out.values())
 
 

@@ -231,7 +231,8 @@ def make_quality_hook(cfg: Config, vocab: Vocabulary,
     return a metrics dict for the JSONL log.  Greedy, not beam: the hook
     runs every epoch and is a trend signal, not the final number —
     ``examples/reference_recipe.sh`` does the beam-10 measurement."""
-    from vae_captioning_tpu.eval.scorers import cider_d, corpus_bleu
+    from vae_captioning_tpu.eval.meteor import corpus_meteor_es
+    from vae_captioning_tpu.eval.scorers import cider_d, corpus_bleu, rouge_l
     from vae_captioning_tpu.train import build_model
 
     model = build_model(cfg)
@@ -242,11 +243,18 @@ def make_quality_hook(cfg: Config, vocab: Vocabulary,
         hyps = {str(c["image_id"]): c["caption"] for c in caps
                 if str(c["image_id"]) in references and c["caption"]}
         if not hyps:
-            return {"val_CIDEr-D": 0.0, "val_BLEU-4": 0.0}
+            return {"val_CIDEr-D": 0.0, "val_BLEU-4": 0.0,
+                    "val_ROUGE-L": 0.0, "val_METEOR_es": 0.0}
         refs = {iid: references[iid] for iid in hyps}
         bleu = corpus_bleu(hyps, refs)
+        keys = sorted(hyps)
+        meteor = corpus_meteor_es(
+            [hyps[k].split() for k in keys],
+            [[r.split() for r in refs[k]] for k in keys])
         return {"val_CIDEr-D": round(cider_d(hyps, refs), 4),
-                "val_BLEU-4": round(bleu[3], 4)}
+                "val_BLEU-4": round(bleu[3], 4),
+                "val_ROUGE-L": round(rouge_l(hyps, refs), 4),
+                "val_METEOR_es": round(meteor, 4)}
 
     return hook
 
