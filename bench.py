@@ -13,10 +13,12 @@ Timeout-proof progressive emission (VERDICT r3 #1): round 3's single
 all-or-nothing batch-4096 run hit the driver timeout (rc 124) and left NO
 metric line.  Now the bench
 
-1. compiles + times a SMALL batch (1024) first and prints its metric JSON
+1. compiles + times a SMALL batch (512) first and prints its metric JSON
    line immediately (flushed) — a number exists within the first compile;
-2. upgrades to batch 4096 (the best measured per-chip point) and prints
-   the better line;
+2. upgrades through 1024 to 4096 (the best measured per-chip point),
+   printing the better line after each stage, and skips an upgrade whose
+   projected cost (previous stage's wall time x batch ratio x1.5) does
+   not fit the remaining budget;
 3. runs a watchdog thread that, at ``VCT_BENCH_BUDGET_S`` seconds
    (default 720), re-prints the best-so-far line and ``os._exit(0)`` —
    so even a hung stage-2 compile leaves exit code 0 and a parseable
@@ -58,10 +60,12 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 BASELINE_PER_CHIP = 625.0  # 5000 img/s on 8 chips
 BEAM = 3
-# progressive batch schedule: 1024 compiles in ~2-3 min through the relay
-# and already beats baseline ~30x; 4096 is the measured per-chip optimum
-# (PERF.md batch sweep: 2048 -> 27.5k, 4096 -> 35.9k caps/s round-2 stack)
-BATCHES = (1024, 4096)
+# progressive batch schedule: 512 puts a FIRST metric line on stdout at
+# the earliest possible moment (smallest useful compile through the
+# relay; still ~20x baseline); 1024 compiles in ~2-3 min; 4096 is the
+# measured per-chip optimum (PERF.md batch sweep: 2048 -> 27.5k,
+# 4096 -> 35.9k caps/s round-2 stack)
+BATCHES = (512, 1024, 4096)
 GEN_MAX_LEN = 30
 VOCAB = 11500
 
@@ -247,23 +251,32 @@ def main(argv=None) -> None:
     beam_fn = fns["beam_search"]
 
     n_chips = len(jax.devices())
+    prev_cost, prev_batch = None, None
     for stage, batch in enumerate(args.batches):
         # skip an upgrade stage we clearly can't finish: compile+upload
-        # grows ~linearly in batch; require at least 2.5x the previous
-        # stage's total wall time to remain (measured 4096/1024 compile
-        # ratio is ~2x through the relay; 2.5 adds headroom)
+        # grows ~linearly in batch, so project this stage's cost from the
+        # previous stage's measured wall time scaled by the batch ratio,
+        # with 1.5x headroom (measured 4096/1024 compile ratio ~2x
+        # through the relay, i.e. sublinear — the projection is generous)
         elapsed = time.monotonic() - _start
-        if stage > 0 and args.budget - elapsed < 2.5 * elapsed:
-            _log(f"skip batch {batch}: {args.budget - elapsed:.0f}s left "
-                 f"of {args.budget:.0f}s budget")
-            break
+        if prev_cost is not None:
+            projected = prev_cost * (batch / prev_batch)
+            if args.budget - elapsed < 1.5 * projected:
+                _log(f"skip batch {batch}: projected {projected:.0f}s x1.5 "
+                     f"> {args.budget - elapsed:.0f}s left of "
+                     f"{args.budget:.0f}s budget")
+                break
         _log(f"stage {stage}: batch {batch} compile+time")
+        t_stage = time.monotonic()
         features, c_v = _make_inputs(cfg, batch, rng, trained_pool)
         dt = _time_decode(beam_fn, params, features, c_v,
-                          iters=5 if stage == 0 else 9)
+                          iters=3 if stage == 0 else
+                          (5 if batch < args.batches[-1] else 9))
+        prev_cost = time.monotonic() - t_stage
+        prev_batch = batch
         per_chip = batch / dt / n_chips
         _log(f"stage {stage}: batch {batch} -> {dt * 1e3:.2f} ms/iter, "
-             f"{per_chip:.0f} caps/s/chip")
+             f"{per_chip:.0f} caps/s/chip ({prev_cost:.0f}s stage)")
         _emit(metric, per_chip)
 
     _exit_with_best(0)
