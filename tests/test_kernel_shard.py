@@ -267,3 +267,136 @@ def test_fused_train_step_sharded_matches_single(interpreted, mesh8):
         bad += int((diff > 5e-4).sum())
         total += diff.size
     assert bad / total < 1e-4, f"{bad}/{total} param elements off"
+
+
+# ----------------------------------------------------------------------
+# decode-path kernels (round 4: serving-side GSPMD, same hole as train)
+# ----------------------------------------------------------------------
+
+def test_lstm_step_sharded_matches_single(interpreted, mesh8):
+    from vae_captioning_tpu.ops import fused_lstm_step as flstep
+    rng = np.random.default_rng(4)
+    M, H, E, V = 16, 128, 128, 64
+    tokens = jnp.asarray(rng.integers(0, V, M), jnp.int32)
+    c = jnp.asarray(rng.normal(size=(M, H)).astype(np.float32))
+    h = jnp.asarray(rng.normal(size=(M, H)).astype(np.float32))
+    emb = jnp.asarray(rng.normal(size=(V, E)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.3, size=(E + H, 4 * H)).astype(np.float32))
+    b = jnp.asarray(rng.normal(0, 0.1, size=(4 * H,)).astype(np.float32))
+
+    nc0, nh0 = flstep.fused_lstm_step(tokens, c, h, emb, w, b)
+    with ks.dp_mesh(mesh8):
+        nc1, nh1 = ks.lstm_step(tokens, c, h, emb, w, b)
+    np.testing.assert_array_equal(np.asarray(nc0), np.asarray(nc1))
+    np.testing.assert_array_equal(np.asarray(nh0), np.asarray(nh1))
+
+
+def _logits_inputs(M=16, H=128, V=300, seed=5):
+    rng = np.random.default_rng(seed)
+    h = jnp.asarray(rng.normal(size=(M, H)).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.2, size=(H, V)).astype(np.float32))
+    b = jnp.asarray(rng.normal(0, 0.1, size=(V,)).astype(np.float32))
+    return h, w, b
+
+
+def test_logits_top_k_sharded_matches_single(interpreted, mesh8):
+    from vae_captioning_tpu.ops import fused_logits_topk as flt
+    h, w, b = _logits_inputs()
+    for k in (1, 3, 10):
+        v0, i0, l0 = flt.fused_logits_top_k(h, w, b, k)
+        with ks.dp_mesh(mesh8):
+            v1, i1, l1 = ks.logits_top_k(h, w, b, k)
+        np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+
+
+def test_logits_top_k_int8_sharded_matches_single(interpreted, mesh8):
+    from vae_captioning_tpu.ops import fused_logits_topk as flt
+    h, w, b = _logits_inputs(seed=6)
+    wq, ws = flt.quantize_logits_weights(w)
+    v0, i0, l0 = flt.fused_logits_top_k_int8(h, wq, ws, b, 3)
+    with ks.dp_mesh(mesh8):
+        v1, i1, l1 = ks.logits_top_k_int8(h, wq, ws, b, 3)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+
+
+def test_topk_lse_sharded_matches_single(interpreted, mesh8):
+    from vae_captioning_tpu.ops import topk_pallas as tkp
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(16, 300)).astype(np.float32))
+    v0, i0, l0 = tkp.top_k_logsumexp_pallas(x, 3)
+    with ks.dp_mesh(mesh8):
+        v1, i1, l1 = ks.topk_lse(x, 3)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+
+
+def test_logits_sample_shard_seeds_distinct(mesh8, monkeypatch):
+    """Each shard must fold its axis_index into the sampling seed —
+    without it, lanes on different shards would reuse the same
+    per-local-row Gumbel noise streams."""
+    from vae_captioning_tpu.ops import fused_logits_topk as flt
+
+    def fake(h, w, b, seed, temperature=1.0):
+        return jnp.full((h.shape[0],), seed & 0x7FFF, jnp.int32)
+
+    monkeypatch.setattr(flt, "fused_logits_sample", fake)
+    h, w, b = _logits_inputs(M=16)
+    with ks.dp_mesh(mesh8):
+        out = np.asarray(ks.logits_sample(h, w, b, jnp.int32(3), 1.0))
+    per_shard = out[::2]
+    assert len(set(per_shard.tolist())) == 8, per_shard
+
+    def mix32(i):
+        v = ((i + 1) * -1640531527) & 0xFFFFFFFF
+        return v - 0x100000000 if v >= 0x80000000 else v
+
+    expected = [(3 ^ mix32(i)) & 0x7FFF for i in range(8)]
+    np.testing.assert_array_equal(per_shard, np.asarray(expected, np.int32))
+
+
+def test_fused_beam_decode_sharded_matches_single(interpreted, mesh8):
+    """End-to-end FUSED beam decode (fused LSTM step + fused logits
+    top-K inside the beam while_loop) on the 8-device mesh equals the
+    single-device fused decode — the serving-side analogue of
+    test_fused_train_step_sharded_matches_single."""
+    from vae_captioning_tpu.config import Config
+    from vae_captioning_tpu.data.vocabulary import Vocabulary
+    from vae_captioning_tpu.inference import make_decode_fns
+    from vae_captioning_tpu.models.cvae import CVAEModel
+    from vae_captioning_tpu.parallel import mesh as mesh_lib
+    from vae_captioning_tpu.train import init_model
+
+    cfg = Config(embed_size=128, latent_size=16, encoder_hidden=128,
+                 decoder_hidden=128, gen_z_samples=4, prior="AG",
+                 use_c_v=True, gen_max_len=5, beam_size=3,
+                 compute_dtype="bfloat16")
+    cfg.vocab_size = 64
+    cfg.fused_force = True          # interpret-mode decode kernels
+    vocab = Vocabulary(["<BOS>", "<EOS>", "<UNK>"]
+                       + [f"w{i}" for i in range(60)])
+    model, params = init_model(cfg, jax.random.PRNGKey(0))
+    fns = make_decode_fns(CVAEModel.from_config(cfg), cfg, vocab)
+
+    rng = np.random.default_rng(8)
+    feats = jnp.asarray(rng.normal(size=(16, 4096)).astype(np.float32))
+    c_v = rng.random((16, 90)).astype(np.float32)
+    c_v = jnp.asarray(c_v / c_v.sum(-1, keepdims=True))
+    key = jax.random.PRNGKey(5)
+
+    ks.set_dp_mesh(None)
+    t0, s0 = fns["beam_search"](params, feats, c_v, key)
+    t0, s0 = np.asarray(t0), np.asarray(s0)
+
+    with ks.dp_mesh(mesh8):
+        fns_s = make_decode_fns(CVAEModel.from_config(cfg), cfg, vocab)
+        feats_s, cv_s = mesh_lib.shard_batch(
+            (np.asarray(feats), np.asarray(c_v)), mesh8)
+        params_r = mesh_lib.replicate(params, mesh8)
+        t1, s1 = fns_s["beam_search"](params_r, feats_s, cv_s, key)
+    np.testing.assert_array_equal(t0, np.asarray(t1))
+    np.testing.assert_allclose(s0, np.asarray(s1), rtol=1e-5)

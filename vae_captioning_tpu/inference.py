@@ -37,8 +37,11 @@ def make_decode_fns(model, cfg: Config, vocab: Vocabulary):
     needs_cv = cfg.needs_cluster_vectors
     cls = type(model)
     # compiled Pallas path only; cfg.fused_decode=False is the pure-XLA
-    # kill switch (results are identical either way — tested)
-    fused = cfg.fused_decode and jax.default_backend() == "tpu"
+    # kill switch (results are identical either way — tested).
+    # fused_force bypasses the backend gate for interpret-mode tests,
+    # same stance as the train path (config.py fused_force)
+    fused = cfg.fused_decode and (jax.default_backend() == "tpu"
+                                  or cfg.fused_force)
     # second-level kill switch: LSTM step (embedding gather + gate matmul
     # + elementwise) as ONE Pallas kernel (ops/fused_lstm_step.py); only
     # for the single-layer bf16 decoder (the reference default)
@@ -54,12 +57,14 @@ def make_decode_fns(model, cfg: Config, vocab: Vocabulary):
                 return model.apply({"params": params}, carry, tokens,
                                    method=cls.decode_step_hidden)
             return fn
-        from vae_captioning_tpu.ops.fused_lstm_step import fused_lstm_step
+        # dp shard_map wrapper: lanes split over a >1-device mesh,
+        # single-device passthrough otherwise (parallel/kernel_shard.py)
+        from vae_captioning_tpu.parallel.kernel_shard import lstm_step
         emb, kern, kbias = decoder_step_params(params)
 
         def fn(carry, tokens):
             ((c, h),) = carry
-            nc, nh = fused_lstm_step(tokens, c, h, emb, kern, kbias)
+            nc, nh = lstm_step(tokens, c, h, emb, kern, kbias)
             return ((nc, nh),), nh
 
         return fn
@@ -79,13 +84,13 @@ def make_decode_fns(model, cfg: Config, vocab: Vocabulary):
         """(h) → (vals, idx, lse) over the logits head; int8-quantized
         when Config.decode_int8 (approximate — documented there)."""
         w, b = logits_head_params(params)
+        from vae_captioning_tpu.parallel import kernel_shard
         if cfg.decode_int8:
             from vae_captioning_tpu.ops.fused_logits_topk import (
-                fused_logits_top_k_int8, quantize_logits_weights)
+                quantize_logits_weights)
             wq, ws = quantize_logits_weights(w)
-            return lambda h: fused_logits_top_k_int8(h, wq, ws, b, k)
-        from vae_captioning_tpu.ops.fused_logits_topk import fused_logits_top_k
-        return lambda h: fused_logits_top_k(h, w, b, k)
+            return lambda h: kernel_shard.logits_top_k_int8(h, wq, ws, b, k)
+        return lambda h: kernel_shard.logits_top_k(h, w, b, k)
 
     def _step_topk_fn(params, k):
         """Fused decode step: LSTM → one Pallas kernel for
@@ -148,14 +153,15 @@ def make_decode_fns(model, cfg: Config, vocab: Vocabulary):
     def _step_sample_fn(params):
         """Temperature sampling fast path: Gumbel-max fused with the
         logits matmul (one categorical draw per row, no [N, V] in HBM)."""
-        from vae_captioning_tpu.ops.fused_logits_topk import fused_logits_sample
+        from vae_captioning_tpu.parallel.kernel_shard import logits_sample
         w, b = logits_head_params(params)
         hidden_step = _hidden_step_fn(params)
 
         def fn(carry, tokens, step_rng):
             carry, h = hidden_step(carry, tokens)
-            seed = jax.random.randint(step_rng, (), 0, 2**31 - 1)
-            nxt = fused_logits_sample(h, w, b, seed, cfg.temperature)
+            seed = jax.random.randint(step_rng, (), 0, 2**31 - 1,
+                                      dtype=jnp.int32)
+            nxt = logits_sample(h, w, b, seed, cfg.temperature)
             return carry, nxt
 
         return fn

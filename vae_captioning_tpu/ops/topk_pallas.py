@@ -115,5 +115,8 @@ def top_k_logsumexp(x: jax.Array, k: int, use_pallas: bool = None
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        return top_k_logsumexp_pallas(x, k)
+        # via the dp shard_map wrapper: rows split over a >1-device
+        # mesh, single-device passthrough otherwise
+        from vae_captioning_tpu.parallel.kernel_shard import topk_lse
+        return topk_lse(x, k)
     return top_k_logsumexp_xla(x, k)

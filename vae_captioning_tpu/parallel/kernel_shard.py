@@ -150,6 +150,117 @@ def sample_project(seed: jax.Array, mean: jax.Array, std: jax.Array,
 
 
 # ----------------------------------------------------------------------
+# decode-path kernels (ops/fused_lstm_step.py, ops/fused_logits_topk.py)
+#
+# Same hole as the train path, serving-side: a multi-chip batch decode
+# under pjit would all-gather the lane-sharded carry into every chip at
+# each pallas_call.  All four kernels are row(lane)-independent — top-K,
+# lse and the sampled token are PER ROW — so dp sharding needs no
+# collectives at all.  Lane counts are B·beam with B mesh-padded by the
+# callers (inference.py pads features to the mesh multiple), so the
+# divisibility fallback in _active() only triggers for ad-hoc shapes.
+# ----------------------------------------------------------------------
+
+def lstm_step(tokens: jax.Array, c: jax.Array, h: jax.Array,
+              embed: jax.Array, w: jax.Array, b: jax.Array):
+    """dp-sharded decode LSTM step: lanes split, embed/weights
+    replicated.  Bit-identical to the unsharded kernel per lane."""
+    from vae_captioning_tpu.ops.fused_lstm_step import fused_lstm_step
+
+    ctx = _active(batch_dim=c.shape[0])
+    if ctx is None:
+        return fused_lstm_step(tokens, c, h, embed, w, b)
+    mesh, ax = ctx
+    f = jax.shard_map(
+        fused_lstm_step, mesh=mesh,
+        in_specs=(P(ax), P(ax), P(ax), P(), P(), P()),
+        out_specs=(P(ax), P(ax)),
+        check_vma=False)
+    return f(tokens, c, h, embed, w, b)
+
+
+def logits_top_k(h: jax.Array, w: jax.Array, b: jax.Array, k: int):
+    """dp-sharded fused logits+top-K+lse (per-row outputs, no psum)."""
+    from vae_captioning_tpu.ops.fused_logits_topk import fused_logits_top_k
+
+    ctx = _active(batch_dim=h.shape[0])
+    if ctx is None:
+        return fused_logits_top_k(h, w, b, k)
+    mesh, ax = ctx
+    f = jax.shard_map(
+        lambda h, w, b: fused_logits_top_k(h, w, b, k), mesh=mesh,
+        in_specs=(P(ax), P(), P()),
+        out_specs=(P(ax), P(ax), P(ax)),
+        check_vma=False)
+    return f(h, w, b)
+
+
+def logits_top_k_int8(h: jax.Array, wq: jax.Array, ws: jax.Array,
+                      b: jax.Array, k: int):
+    """dp-sharded int8 variant (Config.decode_int8)."""
+    from vae_captioning_tpu.ops.fused_logits_topk import (
+        fused_logits_top_k_int8)
+
+    ctx = _active(batch_dim=h.shape[0])
+    if ctx is None:
+        return fused_logits_top_k_int8(h, wq, ws, b, k)
+    mesh, ax = ctx
+    f = jax.shard_map(
+        lambda h, wq, ws, b: fused_logits_top_k_int8(h, wq, ws, b, k),
+        mesh=mesh,
+        in_specs=(P(ax), P(), P(), P()),
+        out_specs=(P(ax), P(ax), P(ax)),
+        check_vma=False)
+    return f(h, wq, ws, b)
+
+
+def topk_lse(x: jax.Array, k: int):
+    """dp-sharded standalone top-K+logsumexp over materialized logits
+    (ops/topk_pallas.py — the non-fused-step beam path)."""
+    from vae_captioning_tpu.ops.topk_pallas import top_k_logsumexp_pallas
+
+    ctx = _active(batch_dim=x.shape[0])
+    if ctx is None:
+        return top_k_logsumexp_pallas(x, k)
+    mesh, ax = ctx
+    f = jax.shard_map(
+        lambda x: top_k_logsumexp_pallas(x, k), mesh=mesh,
+        in_specs=(P(ax, None),),
+        out_specs=(P(ax), P(ax), P(ax)),
+        check_vma=False)
+    return f(x)
+
+
+def logits_sample(h: jax.Array, w: jax.Array, b: jax.Array,
+                  seed: jax.Array, temperature: float):
+    """dp-sharded fused Gumbel-max sampling.  Each shard folds its
+    ``axis_index`` into the seed (same golden-ratio mix as fused_z) so
+    lanes on different shards draw from distinct streams — without it,
+    the kernel's per-local-row noise would REPEAT across shards.  Same
+    per-row categorical law as the unsharded kernel, different stream
+    (the fused sampler is already stream-distinct from the XLA path,
+    ops/fused_logits_topk.py)."""
+    from vae_captioning_tpu.ops.fused_logits_topk import fused_logits_sample
+
+    ctx = _active(batch_dim=h.shape[0])
+    if ctx is None:
+        return fused_logits_sample(h, w, b, seed, temperature)
+    mesh, ax = ctx
+
+    def body(h, w, b, seed):
+        idx = jax.lax.axis_index(ax).astype(jnp.int32)
+        mix = (idx + 1) * jnp.int32(-1640531527)  # 0x9E3779B9 as signed
+        return fused_logits_sample(h, w, b, seed ^ mix, temperature)
+
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(ax), P(), P(), P()),
+        out_specs=P(ax),
+        check_vma=False)
+    return f(h, w, b, seed)
+
+
+# ----------------------------------------------------------------------
 # fused linear + cross-entropy (ops/fused_ce.py)
 # ----------------------------------------------------------------------
 
