@@ -246,6 +246,10 @@ def main():
                    help="GMM prior only: true mixture KL instead of the "
                         "reference's standard-normal placeholder "
                         "(Config.gmm_true_kl A/B)")
+    p.add_argument("--ag_kl_sum", action="store_true",
+                   help="AG prior only: the reference's implicit batch-SUM "
+                        "KL weighting instead of our batch mean "
+                        "(Config.ag_kl_sum A/B)")
     args = p.parse_args()
 
     rng = np.random.default_rng(0)
@@ -272,7 +276,8 @@ def main():
         cfg = Config(prior=args.prior, use_c_v=True, gen_z_samples=100,
                      learning_rate=5e-4, std=0.1,
                      beam_size=args.beam or 10, num_captions=1,
-                     gmm_true_kl=args.gmm_true_kl, **dims)
+                     gmm_true_kl=args.gmm_true_kl,
+                     ag_kl_sum=args.ag_kl_sum, **dims)
     else:
         dims = (dict(embed_size=128, latent_size=32, encoder_hidden=256,
                      decoder_hidden=256, gen_max_len=16)
@@ -281,7 +286,8 @@ def main():
                      decoder_hidden=128, gen_max_len=12))
         cfg = Config(prior=args.prior, use_c_v=True, gen_z_samples=8,
                      learning_rate=0.003, std=0.05, beam_size=args.beam or 3,
-                     num_captions=3, gmm_true_kl=args.gmm_true_kl, **dims)
+                     num_captions=3, gmm_true_kl=args.gmm_true_kl,
+                     ag_kl_sum=args.ag_kl_sum, **dims)
     cfg.vocab_size = vocab.vocab_size
 
     model, params = init_model(cfg, jax.random.PRNGKey(0))

@@ -53,6 +53,28 @@ def test_kl_ag_matches_manual():
     assert got == pytest.approx(want, rel=1e-5)
 
 
+def test_kl_ag_sum_reduce():
+    """reduce='sum' (Config.ag_kl_sum, the reference's implicit batch-sum
+    weighting) = mean x number of VALID rows, masked rows excluded."""
+    rng = np.random.default_rng(2)
+    B, L, C = 6, 8, 90
+    mu = jnp.asarray(rng.normal(size=(B, L)).astype(np.float32))
+    std = jnp.asarray(np.exp(rng.normal(size=(B, L)) * 0.2)
+                      .astype(np.float32))
+    c_v = rng.random((B, C)).astype(np.float32)
+    c_v = jnp.asarray(c_v / c_v.sum(-1, keepdims=True))
+    c_means = jnp.asarray(dist.init_cluster_means(C, L, seed=3))
+    mask = jnp.asarray(np.array([1, 1, 1, 1, 0, 0], np.bool_))
+
+    mean_red = float(dist.kl_ag(mu, std, c_v, c_means, row_mask=mask))
+    sum_red = float(dist.kl_ag(mu, std, c_v, c_means, row_mask=mask,
+                               reduce="sum"))
+    assert sum_red == pytest.approx(4.0 * mean_red, rel=1e-5)
+    # unmasked: sum = B x mean
+    assert float(dist.kl_ag(mu, std, c_v, c_means, reduce="sum")) == \
+        pytest.approx(B * float(dist.kl_ag(mu, std, c_v, c_means)), rel=1e-5)
+
+
 def test_kl_ag_zero_when_at_prior():
     """KL should be ~0 when q equals the AG prior N(c_v@means, sigma_c)."""
     B, L, C = 3, 6, 90

@@ -122,6 +122,24 @@ def test_train_step_ag_prior():
     assert float(m["kld"]) != 0.0
 
 
+def test_train_step_ag_kl_sum():
+    """Config.ag_kl_sum = the reference's implicit batch-sum AG-KL
+    weighting: the reported kld at identical params/rng is exactly
+    n_valid_rows x the default batch-meaned kld."""
+    kld = {}
+    for flag in (False, True):
+        cfg = small_config(prior="AG", use_c_v=True, ag_kl_sum=flag)
+        model, params = init_model(cfg, jax.random.PRNGKey(0))
+        tx = make_optimizer(cfg)
+        state = TrainState.create(params, tx)
+        step = make_train_step(model, tx, cfg, donate=False)
+        from vae_captioning_tpu.train import _flatten_batch
+        args = [jnp.asarray(x) for x in _flatten_batch(make_host_batch())]
+        _, m = step(state, *args, jax.random.PRNGKey(1))
+        kld[flag] = float(m["kld"])
+    assert kld[True] == pytest.approx(8 * kld[False], rel=1e-4)
+
+
 # ---------------------------------------------------------------- sharding
 
 def test_trainer_runs_on_8_device_mesh():

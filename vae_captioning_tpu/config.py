@@ -160,6 +160,18 @@ class Config:
                                 # margins are under the ~1% quantization
                                 # error — opt in after checking quality
                                 # on your data (see PERF.md)
+    ag_kl_sum: bool = False     # AG prior only: the reference leaves its
+                                # AG KL per-example and tf.gradients
+                                # implicitly SUMS it into the loss
+                                # (batch-size-dependent KL weight, ref
+                                # main.py:136-145/172-177); we mean it by
+                                # default.  True = reference's effective
+                                # weighting (masked row sum — under dp the
+                                # sum is over each device's LOCAL rows
+                                # then gradient-averaged, i.e. scales
+                                # with per-device batch like the
+                                # single-GPU reference does with its
+                                # whole batch).  A/B in PERF.md
     gmm_true_kl: bool = False   # GMM prior only: replace the reference's
                                 # placeholder standard-normal KL (its
                                 # acknowledged TODO, ref main.py:125-135)

@@ -261,6 +261,7 @@ def compute_loss(
     annealing: jax.Array | float = 1.0,
     logits_params: Optional[Tuple[jax.Array, jax.Array]] = None,
     gmm_true_kl: bool = False,
+    ag_kl_sum: bool = False,
     time_major: bool = False,
     ce_kernel: str = "hybrid",
 ) -> Dict[str, jax.Array]:
@@ -331,9 +332,12 @@ def compute_loss(
     if no_encoder:
         kld = jnp.asarray(0.0, jnp.float32)
     elif prior == "AG":
+        # ag_kl_sum restores the reference's implicit batch-sum weighting
+        # of the AG KL (Config.ag_kl_sum; A/B in PERF.md)
         kld = dist.kl_ag(outputs["q_mean"], outputs["q_std"],
                          outputs["c_v"], cluster_means, cluster_sigma,
-                         row_mask=row_mask)
+                         row_mask=row_mask,
+                         reduce="sum" if ag_kl_sum else "mean")
     elif prior == "GMM" and gmm_true_kl:
         # opt-in true mixture KL (Config.gmm_true_kl); the default GMM
         # branch below keeps the reference's placeholder for parity

@@ -71,16 +71,21 @@ def _masked_mean(per_example: jax.Array,
 
 def kl_ag(mean: jax.Array, std: jax.Array, c_v: jax.Array,
           cluster_means: jax.Array, cluster_sigma: float = 0.1,
-          row_mask: jax.Array | None = None) -> jax.Array:
+          row_mask: jax.Array | None = None,
+          reduce: str = "mean") -> jax.Array:
     """Additive-Gaussian KLD (ref main.py:136-145).
 
     Per-dim:  0.5 + log σ_q − log σ_c − ((μ_q − c_v·μ_k)² + σ_q²)/(2 σ_c²)
-    then  kld = −0.5 · Σ_dims, batch-meaned.
+    then  kld = −0.5 · Σ_dims, batch-reduced.
 
     The reference leaves this per-example ([B]) and lets tf.gradients
     implicitly *sum* it into the loss while Normal-prior KL is *meaned* —
-    we mean both for a consistent, batch-size-independent KL weight
-    (documented deviation; CIDEr parity is the acceptance test).
+    we mean both by default for a consistent, batch-size-independent KL
+    weight (documented deviation).  ``reduce="sum"`` restores the
+    reference's effective weighting (masked sum over valid rows — a
+    batch-size-DEPENDENT KL weight, ~B× stronger regularization at the
+    same annealing; ``Config.ag_kl_sum``); the A/B on the COCO-statistics
+    corpus is in PERF.md.
 
     c_v: [B, 90] weights, cluster_means: [90, L].
     """
@@ -90,6 +95,10 @@ def kl_ag(mean: jax.Array, std: jax.Array, c_v: jax.Array,
              - (jnp.square(mean - prior_mean) + jnp.square(std))
              / (2.0 * jnp.square(sig_c) + _EPS_DIV))
     per_example = -0.5 * jnp.sum(inner, axis=-1)
+    if reduce == "sum":
+        if row_mask is None:
+            return jnp.sum(per_example)
+        return jnp.sum(per_example * row_mask.astype(per_example.dtype))
     return _masked_mean(per_example, row_mask)
 
 

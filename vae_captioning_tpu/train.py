@@ -229,7 +229,8 @@ def make_train_step(model: CVAEModel, tx: optax.GradientTransformation,
                 out, enc.T, prior=cfg.prior, no_encoder=cfg.no_encoder,
                 cluster_means=cluster_means, annealing=annealing,
                 logits_params=logits_head_params(params) if use_fused_ce
-                else None, gmm_true_kl=cfg.gmm_true_kl, time_major=True,
+                else None, gmm_true_kl=cfg.gmm_true_kl,
+                ag_kl_sum=cfg.ag_kl_sum, time_major=True,
                 ce_kernel=ce_kernel)
             return losses["loss"], losses
 
@@ -264,7 +265,7 @@ def make_eval_step(model: CVAEModel, cfg: Config):
                               cluster_means=cluster_means, annealing=1.0,
                               logits_params=logits_head_params(params)
                               if use_fused_ce else None,
-                              gmm_true_kl=cfg.gmm_true_kl,
+                              gmm_true_kl=cfg.gmm_true_kl, ag_kl_sum=cfg.ag_kl_sum,
                               time_major=True, ce_kernel=ce_kernel)
         return losses["rec_loss"]
 
