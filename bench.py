@@ -108,7 +108,18 @@ def _exit_with_best(code: int = 0) -> None:
     os._exit(code)
 
 
-def _arm_watchdog(budget_s: float) -> None:
+_watchdog: threading.Timer | None = None
+
+
+def _arm_watchdog(budget_s: float) -> threading.Timer:
+    """Arm (and remember, so tests can cancel) the budget watchdog.
+
+    The timer survives the arming scope — anything embedding main()
+    (e.g. the contract tests) must cancel ``_watchdog`` afterwards or
+    the REAL os._exit fires later in the host process.
+    """
+    global _watchdog
+
     def fire():
         _log(f"watchdog: budget {budget_s:.0f}s reached, exiting with "
              f"best-so-far")
@@ -117,6 +128,29 @@ def _arm_watchdog(budget_s: float) -> None:
     t = threading.Timer(budget_s, fire)
     t.daemon = True
     t.start()
+    _watchdog = t
+    return t
+
+
+def _probe_backend(timeout_s: float) -> str:
+    """Ask a SUBPROCESS what backend jax resolves to, with a hard timeout.
+
+    When the axon relay is down, ``jax.devices()`` hangs >570 s (observed
+    for whole sessions) — probing in-process would eat the entire budget
+    and leave no metric line at all.  A subprocess can be killed.  Returns
+    the platform string ("tpu", "cpu", ...) or "timeout".
+    """
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+        out = r.stdout.strip().splitlines()
+        return out[-1] if (r.returncode == 0 and out) else "error"
+    except subprocess.TimeoutExpired:
+        return "timeout"
 
 
 def _train_synthetic(cfg, model, params, vocab, steps: int,
@@ -215,9 +249,11 @@ def main(argv=None) -> None:
     p.add_argument("--trained", type=int, default=0, metavar="STEPS",
                    help="train STEPS synthetic steps first; time decode "
                         "on the peaked (early-exit-active) model")
-    p.add_argument("--batches", type=int, nargs="+", default=list(BATCHES),
+    p.add_argument("--batches", type=int, nargs="+", default=None,
                    help="progressive batch schedule (each stage emits a "
-                        "best-so-far metric line)")
+                        "best-so-far metric line); default "
+                        f"{list(BATCHES)} on TPU, [64] on the CPU "
+                        "fallback (CPU throughput drops with batch)")
     p.add_argument("--vocab", type=int, default=VOCAB)
     p.add_argument("--budget", type=float,
                    default=float(os.environ.get("VCT_BENCH_BUDGET_S", 720)),
@@ -229,6 +265,28 @@ def main(argv=None) -> None:
 
     metric = ("captions_per_sec_per_chip_beam3"
               + ("_trained" if args.trained else ""))
+
+    # Relay-down insurance: if the TPU backend never answers (the axon
+    # relay was down for entire sessions in round 4), pin jax to CPU and
+    # emit an HONESTLY-LABELED fallback line instead of hanging in
+    # jax.devices() until the watchdog fires with no metric at all.
+    # CPU beam-3 ≈ 38 caps/s at batch 64 (measured 2026-08-18) — the
+    # `_cpu_fallback` suffix keeps it from reading as a TPU regression.
+    probe_timeout = float(os.environ.get("VCT_BENCH_PROBE_TIMEOUT_S", 300))
+    platform = _probe_backend(min(probe_timeout, max(args.budget - 120, 30)))
+    _log(f"backend probe: {platform}")
+    batches = args.batches
+    if platform != "tpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        jax.config.update("jax_platforms", "cpu")
+        metric += "_cpu_fallback"
+        # CPU throughput DROPS with batch (38 caps/s @64 vs 33 @256);
+        # one small stage is the best the fallback can do.  An explicit
+        # --batches still wins (the contract tests rely on this).
+        if batches is None:
+            batches = [64]
+    if batches is None:
+        batches = list(BATCHES)
 
     cfg = Config(prior="AG", use_c_v=True, beam_size=BEAM,
                  gen_max_len=GEN_MAX_LEN, sample_gen="beam_search")
@@ -252,7 +310,7 @@ def main(argv=None) -> None:
 
     n_chips = len(jax.devices())
     prev_cost, prev_batch = None, None
-    for stage, batch in enumerate(args.batches):
+    for stage, batch in enumerate(batches):
         # skip an upgrade stage we clearly can't finish: compile+upload
         # grows ~linearly in batch, so project this stage's cost from the
         # previous stage's measured wall time scaled by the batch ratio,
@@ -271,7 +329,7 @@ def main(argv=None) -> None:
         features, c_v = _make_inputs(cfg, batch, rng, trained_pool)
         dt = _time_decode(beam_fn, params, features, c_v,
                           iters=3 if stage == 0 else
-                          (5 if batch < args.batches[-1] else 9))
+                          (5 if batch < batches[-1] else 9))
         prev_cost = time.monotonic() - t_stage
         prev_batch = batch
         per_chip = batch / dt / n_chips

@@ -38,7 +38,15 @@ def no_hard_exit(monkeypatch):
     monkeypatch.setitem(bench._best, "value", -1.0)
     monkeypatch.setitem(bench._best, "line", None)
     monkeypatch.setattr(bench, "_start", time.monotonic())
-    return codes
+    yield codes
+    # CRITICAL: cancel any timer main()/_arm_watchdog armed.  The
+    # monkeypatched os._exit is restored at teardown, so a still-armed
+    # Timer would fire the REAL os._exit(0) minutes later — silently
+    # killing the pytest process mid-suite with exit code 0 (observed:
+    # two full-suite runs "passing" at 28%).
+    if bench._watchdog is not None:
+        bench._watchdog.cancel()
+        bench._watchdog = None
 
 
 def _metric_lines(captured: str):
@@ -51,7 +59,7 @@ def _metric_lines(captured: str):
         assert set(d) == {"metric", "value", "unit", "vs_baseline"}
         assert d["unit"] == "captions/sec/chip"
         assert d["vs_baseline"] == pytest.approx(
-            d["value"] / bench.BASELINE_PER_CHIP, rel=1e-2)
+            d["value"] / bench.BASELINE_PER_CHIP, rel=1e-2, abs=5.1e-4)
         lines.append(d)
     return lines
 
@@ -95,6 +103,8 @@ def test_main_progressive_lines_and_stage_skip(no_hard_exit, capsys,
         time.sleep(0.6)          # give stages measurable wall cost
         return 0.01              # 100 caps/s/chip at batch 1
     monkeypatch.setattr(bench, "_time_decode", fake_time_decode)
+    # the real probe spawns a jax subprocess (30s+ if the relay is down)
+    monkeypatch.setattr(bench, "_probe_backend", lambda t: "tpu")
 
     def fake_init(cfg, key):
         return object(), {}
@@ -126,3 +136,38 @@ def test_main_progressive_lines_and_stage_skip(no_hard_exit, capsys,
     assert vals == sorted(vals)
     assert "skip batch 3000" in out.err
     assert lines[-1]["metric"] == "captions_per_sec_per_chip_beam3"
+
+
+def test_main_cpu_fallback_when_relay_down(no_hard_exit, capsys,
+                                           monkeypatch):
+    """If the backend probe times out (relay down), main pins jax to
+    CPU, labels the metric ``_cpu_fallback``, and uses the small CPU
+    schedule — an honest parseable line instead of a silent hang."""
+    calls = []
+
+    def fake_time_decode(beam_fn, params, features, c_v, iters):
+        calls.append(features.shape[0])
+        return 0.5
+    monkeypatch.setattr(bench, "_time_decode", fake_time_decode)
+    monkeypatch.setattr(bench, "_probe_backend", lambda t: "timeout")
+    monkeypatch.setattr("vae_captioning_tpu.train.init_model",
+                        lambda cfg, key: (object(), {}))
+    monkeypatch.setattr(
+        "vae_captioning_tpu.inference.make_decode_fns",
+        lambda model, cfg, vocab: {"beam_search": None})
+    monkeypatch.setattr(
+        bench, "_make_inputs",
+        lambda cfg, batch, rng, pool=None: (
+            __import__("numpy").zeros((batch, 4)), None))
+    # don't let the fallback's jax.config.update persist into the suite
+    import jax
+    monkeypatch.setattr(jax.config, "update", lambda *a, **k: None)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+
+    with pytest.raises(SystemExit):
+        bench.main(["--vocab", "64", "--budget", "300"])
+    assert no_hard_exit == [0]
+    assert calls == [64], f"CPU fallback should run one batch-64 stage: {calls}"
+    lines = _metric_lines(capsys.readouterr().out)
+    assert lines[-1]["metric"] == \
+        "captions_per_sec_per_chip_beam3_cpu_fallback"
