@@ -263,6 +263,26 @@ def test_config_cli_flags():
     assert cfg.seed == 7
 
 
+def test_config_reference_readme_ag_example():
+    """The reference README's exact AG training command must parse
+    verbatim (ref README.md usage section), incl. the ignored --gpu."""
+    import warnings
+    from vae_captioning_tpu.config import parse_args
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg = parse_args(
+            ["--gpu", "0", "--embed_dim", "256", "--dec_hid", "512",
+             "--epochs", "50", "--temperature", "0.6", "--gen_name", "ag",
+             "--dec_drop", "0.7", "--dec_lstm_drop", "0.7", "--lr", "0.001",
+             "--checkpoint", "ag_cv_test1", "--coco_dir", "/tmp/coco/",
+             "--optimizer", "Adam", "--sample_gen", "greedy", "--c_v",
+             "--prior", "AG"])
+    assert cfg.embed_size == 256 and cfg.decoder_hidden == 512
+    assert cfg.prior == "AG" and cfg.use_c_v and cfg.num_epochs == 50
+    assert cfg.dec_keep_rate == 0.7 and cfg.temperature == 0.6
+    assert any("--gpu is ignored" in str(x.message) for x in w)
+
+
 def test_config_validation():
     with pytest.raises(ValueError):
         Config(prior="bogus")

@@ -317,6 +317,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--fine_tune", action="store_true", default=S)
     p.add_argument("--mode", default=S, choices=MODES)
     p.add_argument("--beam_size", type=int, default=S)
+    p.add_argument("--gpu", default=None, metavar="ID",
+                   help="accepted for reference-CLI compatibility "
+                        "(ref main.py --gpu) and IGNORED: device "
+                        "selection is automatic — jit uses every visible "
+                        "device via the dp mesh")
     p.add_argument("--config", default=None,
                    help="load a saved config JSON before applying flags")
     p.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
@@ -340,6 +345,10 @@ def parse_args(argv: Optional[list] = None) -> Config:
     Precedence: Config defaults < --config JSON < explicit flags < --set.
     Only flags the user actually typed override the loaded config."""
     args = build_arg_parser().parse_args(argv)
+    if args.gpu is not None:
+        import warnings
+        warnings.warn("--gpu is ignored: device selection is automatic "
+                      "(all visible devices join the dp mesh)")
     cfg = Config.load(args.config) if args.config else Config()
 
     present = vars(args)
