@@ -12,8 +12,6 @@ from __future__ import annotations
 import os
 from typing import Any, Optional
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from vae_captioning_tpu.config import Config

@@ -13,7 +13,6 @@ import os
 from typing import Optional
 
 import jax
-import numpy as np
 
 from vae_captioning_tpu.checkpoint import Checkpointer, load_sidecars, save_sidecars
 from vae_captioning_tpu.config import Config, parse_args

@@ -26,7 +26,7 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from vae_captioning_tpu.data.cluster_vectors import NUM_CATEGORIES, lookup_batch
+from vae_captioning_tpu.data.cluster_vectors import lookup_batch
 
 
 @dataclass

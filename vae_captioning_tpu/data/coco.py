@@ -15,7 +15,7 @@ from __future__ import annotations
 import json
 import os
 from collections import defaultdict
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 from vae_captioning_tpu.data.tokenizer import tokenize_caption
 from vae_captioning_tpu.data.vocabulary import Vocabulary

@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 import pickle
 from glob import glob
-from typing import Dict, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

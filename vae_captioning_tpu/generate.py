@@ -27,7 +27,6 @@ import numpy as np
 from vae_captioning_tpu.checkpoint import Checkpointer, load_sidecars
 from vae_captioning_tpu.data.images import load_image
 from vae_captioning_tpu.inference import make_decode_fns
-from vae_captioning_tpu.models.cvae import CVAEModel
 from vae_captioning_tpu.ops.decoding import tokens_to_text
 
 

@@ -24,8 +24,6 @@ tolerance; validated by grad-vs-autodiff tests.  Exposed behind
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -22,7 +22,7 @@ fp32 accumulation via ``preferred_element_type``.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

@@ -38,7 +38,7 @@ needs — validated against single-device jax.grad in the tests.
 from __future__ import annotations
 
 import contextlib
-from typing import Any, Callable, Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,8 +24,7 @@ batch sharded, gradient psum inserted by pjit.
 from __future__ import annotations
 
 import time
-from functools import partial
-from typing import Any, Dict, Iterator, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax.struct
 import jax
