@@ -17,8 +17,9 @@ metric line.  Now the bench
    line immediately (flushed) — a number exists within the first compile;
 2. upgrades through 1024 to 4096 (the best measured per-chip point),
    printing the better line after each stage, and skips an upgrade whose
-   projected cost (previous stage's wall time x batch ratio x1.5) does
-   not fit the remaining budget;
+   projected cost (setup scaled sublinearly at batch_ratio**0.5 +
+   iterations scaled linearly, x1.15 headroom) does not fit the
+   remaining budget;
 3. runs a watchdog thread that, at ``VCT_BENCH_BUDGET_S`` seconds
    (default 720), re-prints the best-so-far line and ``os._exit(0)`` —
    so even a hung stage-2 compile leaves exit code 0 and a parseable
@@ -214,15 +215,26 @@ def _make_inputs(cfg, batch: int, rng, trained_pool=None):
     return features, c_v
 
 
-def _time_decode(beam_fn, params, features, c_v, iters: int) -> float:
+def _time_decode(beam_fn, params, features, c_v,
+                 iters: int) -> tuple[float, float]:
+    """Returns (median_iteration_s, setup_s).
+
+    setup_s covers the two warmup calls — i.e. compile + weight/input
+    upload + first execution — and is reported separately because it is
+    the ~entire stage cost through the relay (stage-0 at batch 512:
+    345 s setup vs 0.11 s of timed iterations, measured 2026-08-18) and
+    it scales very differently with batch than the iteration time does.
+    """
     key = jax.random.PRNGKey(0)
     # warmup / compile.  NOTE: on the axon relay, block_until_ready alone
     # does not force remote execution — a host transfer does, so timing
     # fetches the token array each iteration (61 KB, negligible).
+    t_setup = time.perf_counter()
     for i in range(2):
         tokens, scores = beam_fn(params, features, c_v,
                                  jax.random.fold_in(key, 100 + i))
         np.asarray(tokens)
+    setup_s = time.perf_counter() - t_setup
 
     # median per-iteration time: robust to transient relay/queue
     # contention (observed run-to-run swings on the shared tunnel)
@@ -233,7 +245,7 @@ def _time_decode(beam_fn, params, features, c_v, iters: int) -> float:
                                  jax.random.fold_in(key, i))
         np.asarray(tokens)
         times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    return float(np.median(times)), setup_s
 
 
 def main(argv=None) -> None:
@@ -309,32 +321,40 @@ def main(argv=None) -> None:
     beam_fn = fns["beam_search"]
 
     n_chips = len(jax.devices())
-    prev_cost, prev_batch = None, None
+    prev = None  # (batch, setup_s, iter_s) of the completed stage
     for stage, batch in enumerate(batches):
-        # skip an upgrade stage we clearly can't finish: compile+upload
-        # grows ~linearly in batch, so project this stage's cost from the
-        # previous stage's measured wall time scaled by the batch ratio,
-        # with 1.5x headroom (measured 4096/1024 compile ratio ~2x
-        # through the relay, i.e. sublinear — the projection is generous)
+        iters = 3 if stage == 0 else (5 if batch < batches[-1] else 9)
+        # Skip an upgrade stage we clearly can't finish.  A stage's cost
+        # through the relay is ~all setup (compile + upload + first
+        # call): batch 512 measured 345 s setup vs 0.11 s of timed
+        # iterations (2026-08-18).  Setup grows SUBLINEARLY in batch
+        # (measured 4096/1024 executable-compile ratio ~2x over 4x
+        # batch, i.e. ~ratio**0.5) and stage 0 additionally pays
+        # one-time costs (first in-process Pallas compiles ~140 s) that
+        # upgrades don't repeat — so the old linear x1.5 projection
+        # over-estimated the 512->1024 upgrade ~4x and always skipped
+        # it.  Project setup at ratio**0.5 and iterations linearly,
+        # with 1.15x headroom; the budget watchdog is the real safety
+        # net if the projection is ever optimistic (it re-prints the
+        # best-so-far line and exits 0).
         elapsed = time.monotonic() - _start
-        if prev_cost is not None:
-            projected = prev_cost * (batch / prev_batch)
-            if args.budget - elapsed < 1.5 * projected:
-                _log(f"skip batch {batch}: projected {projected:.0f}s x1.5 "
-                     f"> {args.budget - elapsed:.0f}s left of "
+        if prev is not None:
+            pb, psetup, piter = prev
+            ratio = batch / pb
+            projected = psetup * ratio ** 0.5 + piter * ratio * (iters + 2)
+            if args.budget - elapsed < 1.15 * projected:
+                _log(f"skip batch {batch}: projected {projected:.0f}s "
+                     f"x1.15 > {args.budget - elapsed:.0f}s left of "
                      f"{args.budget:.0f}s budget")
                 break
         _log(f"stage {stage}: batch {batch} compile+time")
-        t_stage = time.monotonic()
         features, c_v = _make_inputs(cfg, batch, rng, trained_pool)
-        dt = _time_decode(beam_fn, params, features, c_v,
-                          iters=3 if stage == 0 else
-                          (5 if batch < batches[-1] else 9))
-        prev_cost = time.monotonic() - t_stage
-        prev_batch = batch
+        dt, setup_s = _time_decode(beam_fn, params, features, c_v, iters)
+        prev = (batch, setup_s, dt)
         per_chip = batch / dt / n_chips
         _log(f"stage {stage}: batch {batch} -> {dt * 1e3:.2f} ms/iter, "
-             f"{per_chip:.0f} caps/s/chip ({prev_cost:.0f}s stage)")
+             f"{per_chip:.0f} caps/s/chip ({setup_s:.0f}s setup "
+             f"+ {dt * iters:.1f}s timed)")
         _emit(metric, per_chip)
 
     _exit_with_best(0)

@@ -101,7 +101,7 @@ def test_main_progressive_lines_and_stage_skip(no_hard_exit, capsys,
     def fake_time_decode(beam_fn, params, features, c_v, iters):
         calls.append(features.shape[0])
         time.sleep(0.6)          # give stages measurable wall cost
-        return 0.01              # 100 caps/s/chip at batch 1
+        return 0.01, 0.6         # (iter_s, setup_s)
     monkeypatch.setattr(bench, "_time_decode", fake_time_decode)
     # the real probe spawns a jax subprocess (30s+ if the relay is down)
     monkeypatch.setattr(bench, "_probe_backend", lambda t: "tpu")
@@ -118,10 +118,11 @@ def test_main_progressive_lines_and_stage_skip(no_hard_exit, capsys,
             __import__("numpy").zeros((batch, 4)), None))
 
     with pytest.raises(SystemExit):
-        # stage 8 costs ~0.6s; stage 3000's projected cost
-        # 0.6*(3000/8)*1.5 ≈ 340s > remaining budget → skipped
+        # stage-16 setup is stubbed at 0.6s; stage 3000's projection is
+        # 0.6*(3000/16)**0.5 + 0.01*(3000/16)*11 ≈ 28.8s, x1.15 ≈ 33s
+        # > the ~28s left of the 30s budget → skipped
         bench.main(["--batches", "8", "16", "3000", "--vocab", "64",
-                    "--budget", "60"])
+                    "--budget", "30"])
     assert no_hard_exit == [0]
     assert calls == [8, 16], f"stage-3 should be skipped, ran {calls}"
     out = capsys.readouterr()
@@ -147,7 +148,7 @@ def test_main_cpu_fallback_when_relay_down(no_hard_exit, capsys,
 
     def fake_time_decode(beam_fn, params, features, c_v, iters):
         calls.append(features.shape[0])
-        return 0.5
+        return 0.5, 0.1
     monkeypatch.setattr(bench, "_time_decode", fake_time_decode)
     monkeypatch.setattr(bench, "_probe_backend", lambda t: "timeout")
     monkeypatch.setattr("vae_captioning_tpu.train.init_model",
