@@ -60,6 +60,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 BASELINE_PER_CHIP = 625.0  # 5000 img/s on 8 chips
+# Estimated one-time in-process setup paid only by stage 0 (first Pallas
+# kernel compiles through the remote compile service ~140 s; measured
+# 2026-08-18, NEXT.md env notes).  Subtracted from stage-0 setup before
+# projecting upgrade cost (ADVICE r4).
+_ONE_TIME_SETUP_S = 140.0
 BEAM = 3
 # progressive batch schedule: 512 puts a FIRST metric line on stdout at
 # the earliest possible moment (smallest useful compile through the
@@ -321,7 +326,7 @@ def main(argv=None) -> None:
     beam_fn = fns["beam_search"]
 
     n_chips = len(jax.devices())
-    prev = None  # (batch, setup_s, iter_s) of the completed stage
+    prev = None  # (batch, setup_s, iter_s, stage) of the completed stage
     for stage, batch in enumerate(batches):
         iters = 3 if stage == 0 else (5 if batch < batches[-1] else 9)
         # Skip an upgrade stage we clearly can't finish.  A stage's cost
@@ -329,19 +334,27 @@ def main(argv=None) -> None:
         # call): batch 512 measured 345 s setup vs 0.11 s of timed
         # iterations (2026-08-18).  Setup grows SUBLINEARLY in batch
         # (measured 4096/1024 executable-compile ratio ~2x over 4x
-        # batch, i.e. ~ratio**0.5) and stage 0 additionally pays
-        # one-time costs (first in-process Pallas compiles ~140 s) that
-        # upgrades don't repeat — so the old linear x1.5 projection
-        # over-estimated the 512->1024 upgrade ~4x and always skipped
-        # it.  Project setup at ratio**0.5 and iterations linearly,
-        # with 1.15x headroom; the budget watchdog is the real safety
-        # net if the projection is ever optimistic (it re-prints the
-        # best-so-far line and exits 0).
+        # batch, i.e. ~ratio**0.5), and stage 0 additionally pays
+        # ONE-TIME in-process costs (first Pallas compiles ~140 s,
+        # backend init ~50 s) that upgrades never repeat — so when
+        # projecting FROM stage 0 those are subtracted first (ADVICE r4
+        # medium: without the subtraction the committed run's 345 s
+        # stage-0 setup projected 562 s > 430 s left and the 512->1024
+        # upgrade was still always skipped; with it, (345-140)*sqrt(2)
+        # = 290 s fits).  Iterations project linearly on ITER count only
+        # — the two warmup executions are already inside the setup term
+        # (ADVICE r4 low: the old (iters+2) double-counted them).  1.15x
+        # headroom; a mispredicted stage costs nothing worse than the
+        # watchdog re-printing the already-emitted best line and exiting
+        # 0 (ADVICE r4 low #3: accepted — earlier lines always exist).
         elapsed = time.monotonic() - _start
         if prev is not None:
-            pb, psetup, piter = prev
+            pb, psetup, piter, pstage = prev
             ratio = batch / pb
-            projected = psetup * ratio ** 0.5 + piter * ratio * (iters + 2)
+            psetup_eff = psetup - _ONE_TIME_SETUP_S if pstage == 0 \
+                else psetup
+            psetup_eff = max(psetup_eff, 0.2 * psetup)
+            projected = psetup_eff * ratio ** 0.5 + piter * ratio * iters
             if args.budget - elapsed < 1.15 * projected:
                 _log(f"skip batch {batch}: projected {projected:.0f}s "
                      f"x1.15 > {args.budget - elapsed:.0f}s left of "
@@ -350,7 +363,7 @@ def main(argv=None) -> None:
         _log(f"stage {stage}: batch {batch} compile+time")
         features, c_v = _make_inputs(cfg, batch, rng, trained_pool)
         dt, setup_s = _time_decode(beam_fn, params, features, c_v, iters)
-        prev = (batch, setup_s, dt)
+        prev = (batch, setup_s, dt, stage)
         per_chip = batch / dt / n_chips
         _log(f"stage {stage}: batch {batch} -> {dt * 1e3:.2f} ms/iter, "
              f"{per_chip:.0f} caps/s/chip ({setup_s:.0f}s setup "

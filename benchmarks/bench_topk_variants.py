@@ -155,6 +155,26 @@ def _cmp_desc(va, ia, vb, ib):
             jnp.where(a_wins, vb, va), jnp.where(a_wins, ib, ia))
 
 
+def _reverse_pow2(x, n):
+    """Reverse the last axis (length n, a power of 2) WITHOUT lax.rev.
+
+    Mosaic has no lowering for the ``rev`` primitive — ``bv[:, ::-1]``
+    crashed on real TPU in round 4 (tpu_r4_logs/topk_ab_peaked.log:
+    "Unimplemented primitive in Pallas TPU lowering: rev").  Since
+    n-1 is all-ones, index i -> n-1-i flips EVERY bit of i, and
+    flipping bit b == swapping the two halves of each 2^(b+1)-sized
+    block: one static reshape+stack per bit, the same pattern the
+    merge stages below already use."""
+    BM = x.shape[0]
+    d = 1
+    while d < n:
+        x4 = x.reshape(BM, n // (2 * d), 2, d)
+        x = jnp.stack([x4[:, :, 1, :], x4[:, :, 0, :]],
+                      axis=2).reshape(BM, n)
+        d *= 2
+    return x
+
+
 def _bitonic_merge_sorted(av, ai, bv, bi, k):
     """Top-k of two length-k DESC-sorted (value, index) lists via a
     bitonic merge network — log2(2k') compare-exchange stages instead of
@@ -176,8 +196,8 @@ def _bitonic_merge_sorted(av, ai, bv, bi, k):
         bi = jnp.concatenate(
             [bi, jnp.full((bi.shape[0], pad), 2**30, jnp.int32)], axis=-1)
     # a ++ reverse(b): descending then ascending = bitonic
-    v = jnp.concatenate([av, bv[:, ::-1]], axis=-1)   # [BM, 2k']
-    ix = jnp.concatenate([ai, bi[:, ::-1]], axis=-1)
+    v = jnp.concatenate([av, _reverse_pow2(bv, kp)], axis=-1)  # [BM, 2k']
+    ix = jnp.concatenate([ai, _reverse_pow2(bi, kp)], axis=-1)
     n = 2 * kp
     d = kp
     while d >= 1:
@@ -383,29 +403,42 @@ def main(argv=None):
     want_v, want_i, want_lse = map(np.asarray,
                                    fused_logits_top_k_xla(h0, w, b, args.k))
 
+    failures = 0
     for mode in args.variants:
-        got_v, got_i, got_lse = map(
-            np.asarray, fused_topk_variant(h0, w, b, args.k, mode))
-        idx_agree = float((got_i == want_i).mean())
-        dval = float(np.abs(got_v - want_v).max())
-        dlse = float(np.abs(got_lse - want_lse).max())
+        # one broken variant must not abort the sweep (round-4 lesson:
+        # the bitonic_merge Mosaic crash truncated BOTH A/B logs and left
+        # threshold_skip untimed — VERDICT r4 weak #2)
+        try:
+            got_v, got_i, got_lse = map(
+                np.asarray, fused_topk_variant(h0, w, b, args.k, mode))
+            idx_agree = float((got_i == want_i).mean())
+            dval = float(np.abs(got_v - want_v).max())
+            dlse = float(np.abs(got_lse - want_lse).max())
 
-        def run(n, mode=mode):
-            def body(carry, _):
-                h = carry
-                vals, idx, lse = fused_topk_variant(h, w, b, args.k, mode)
-                return h + vals[:, 0:1] * 1e-9, None
-            out, _ = jax.lax.scan(body, h0, None, length=n)
-            return out[:4, :4]
+            def run(n, mode=mode):
+                def body(carry, _):
+                    h = carry
+                    vals, idx, lse = fused_topk_variant(h, w, b, args.k,
+                                                        mode)
+                    return h + vals[:, 0:1] * 1e-9, None
+                out, _ = jax.lax.scan(body, h0, None, length=n)
+                return out[:4, :4]
 
-        runner = jax.jit(run, static_argnums=0)
-        ms, _ = marginal_ms(runner, n_lo=8, n_hi=32, reps=5)
-        print(json.dumps({
-            "variant": mode, "k": args.k, "M": args.m,
-            "marginal_ms_per_step": round(ms, 4),
-            "idx_agreement": round(idx_agree, 6),
-            "max_abs_dval": dval, "max_abs_dlse": round(dlse, 6),
-        }))
+            runner = jax.jit(run, static_argnums=0)
+            ms, _ = marginal_ms(runner, n_lo=8, n_hi=32, reps=5)
+            print(json.dumps({
+                "variant": mode, "k": args.k, "M": args.m,
+                "marginal_ms_per_step": round(ms, 4),
+                "idx_agreement": round(idx_agree, 6),
+                "max_abs_dval": dval, "max_abs_dlse": round(dlse, 6),
+            }), flush=True)
+        except Exception as e:  # noqa: BLE001 — report and continue
+            failures += 1
+            print(json.dumps({
+                "variant": mode, "k": args.k, "M": args.m,
+                "error": f"{type(e).__name__}: {e}"[:400],
+            }), flush=True)
+    return failures
 
 
 if __name__ == "__main__":

@@ -118,10 +118,12 @@ def test_main_progressive_lines_and_stage_skip(no_hard_exit, capsys,
             __import__("numpy").zeros((batch, 4)), None))
 
     with pytest.raises(SystemExit):
-        # stage-16 setup is stubbed at 0.6s; stage 3000's projection is
-        # 0.6*(3000/16)**0.5 + 0.01*(3000/16)*11 ≈ 28.8s, x1.15 ≈ 33s
-        # > the ~28s left of the 30s budget → skipped
-        bench.main(["--batches", "8", "16", "3000", "--vocab", "64",
+        # stage-16 setup is stubbed at 0.6s (stage-0's is shielded from
+        # the _ONE_TIME_SETUP_S subtraction by the 0.2*psetup floor);
+        # stage 4000's projection is 0.6*(4000/16)**0.5 +
+        # 0.01*(4000/16)*9 ≈ 32s, x1.15 ≈ 37s > the ~28s left of the
+        # 30s budget → skipped
+        bench.main(["--batches", "8", "16", "4000", "--vocab", "64",
                     "--budget", "30"])
     assert no_hard_exit == [0]
     assert calls == [8, 16], f"stage-3 should be skipped, ran {calls}"
@@ -135,7 +137,7 @@ def test_main_progressive_lines_and_stage_skip(no_hard_exit, capsys,
     assert vals[0] == pytest.approx(8 / 0.01 / n_chips, rel=1e-2)
     assert vals[1] == pytest.approx(16 / 0.01 / n_chips, rel=1e-2)
     assert vals == sorted(vals)
-    assert "skip batch 3000" in out.err
+    assert "skip batch 4000" in out.err
     assert lines[-1]["metric"] == "captions_per_sec_per_chip_beam3"
 
 
