@@ -48,16 +48,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Persistent executable cache.  NOTE: measured ineffective through the
-# axon remote-compile service (a warm-cache fresh process still spends
-# ~7 min in the first beam_fn call: 50 s init, 26 s data upload, ~6 min
-# warmup-0/compile at batch 4096) — kept because it is free and becomes
-# useful on a standard TPU runtime where the cache does serialize.
-_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                      ".jax_bench_cache")
-jax.config.update("jax_compilation_cache_dir", _cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# Persistent executable cache (VERDICT r4 #3).  Round-5 relay evidence:
+# warm-cache stage-0 setup 36 s (vs ~140 s fresh) and all three
+# progressive stages inside 123 s wall (benchmarks/tpu_r5_logs/bench.err)
+# — an earlier session had measured the cache ineffective, which no
+# longer holds.  Shared dir with every other entry point via the helper.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from vae_captioning_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+enable_compile_cache(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  ".jax_bench_cache"))
 
 BASELINE_PER_CHIP = 625.0  # 5000 img/s on 8 chips
 # Estimated one-time in-process setup paid only by stage 0 (first Pallas

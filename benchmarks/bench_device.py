@@ -38,6 +38,8 @@ import numpy as np
 
 
 from timing_util import marginal_ms  # noqa: E402 (after sys.path insert)
+from vae_captioning_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+enable_compile_cache()
 
 
 def _emit(component, ms_per_iter, unit_count, unit):

@@ -33,6 +33,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from vae_captioning_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+enable_compile_cache()
+
 
 def build_dataset(root: str, n_images: int, k: int, vocab: int, t_len: int,
                   threads: int = 8):

@@ -30,6 +30,8 @@ V = 11500
 
 
 from timing_util import marginal_ms  # noqa: E402 (shared two-point slope helper)
+from vae_captioning_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+enable_compile_cache()
 
 
 def main() -> None:

@@ -24,6 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from timing_util import marginal_ms  # noqa: E402
+from vae_captioning_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+enable_compile_cache()
 
 
 def check_stream() -> None:

@@ -29,6 +29,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from timing_util import marginal_ms  # noqa: E402
+from vae_captioning_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+enable_compile_cache()
 
 
 def bench(batch: int, mode: str, vocab_size: int = 11500,

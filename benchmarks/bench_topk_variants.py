@@ -40,6 +40,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from timing_util import marginal_ms  # noqa: E402
+from vae_captioning_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+enable_compile_cache()
 
 from vae_captioning_tpu.ops.fused_logits_topk import (  # noqa: E402
     _BM, _NEG, _VMEM_LIMIT, fused_logits_top_k_xla)

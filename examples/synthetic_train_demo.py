@@ -22,6 +22,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vae_captioning_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache()
+
 from vae_captioning_tpu.config import Config
 from vae_captioning_tpu.data.batcher import Batch
 from vae_captioning_tpu.data.tokenizer import tokenize_caption

@@ -87,3 +87,27 @@ def test_cli(tmp_path, capsys):
     xplane.main([path, "--top", "3", "--plane", "TPU"])
     out = capsys.readouterr().out
     assert "bar" in out and "/device:TPU:0" in out
+
+
+def test_enable_compile_cache(tmp_path, monkeypatch):
+    """The shared cache helper honors explicit path > env > repo default,
+    creates the directory, and points jax's config at it."""
+    import jax
+
+    from vae_captioning_tpu.utils.compile_cache import enable_compile_cache
+
+    explicit = tmp_path / "explicit"
+    assert enable_compile_cache(str(explicit)) == str(explicit)
+    assert explicit.is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(explicit)
+
+    env_dir = tmp_path / "from_env"
+    monkeypatch.setenv("VCT_COMPILE_CACHE", str(env_dir))
+    assert enable_compile_cache() == str(env_dir)
+    assert env_dir.is_dir()
+
+    monkeypatch.delenv("VCT_COMPILE_CACHE")
+    default = enable_compile_cache()
+    assert default.endswith(".jax_bench_cache") or ".cache" in default
+    # restore: later tests/processes must not inherit a tmp dir
+    jax.config.update("jax_compilation_cache_dir", default)

@@ -90,6 +90,10 @@ def main(argv=None) -> None:
     platform = os.environ.get("VCT_PLATFORM")
     if platform:
         jax.config.update("jax_platforms", platform)
+    # persistent executable cache — fresh-process Pallas compiles cost
+    # ~140 s through a remote-compile service, ~36 s warm (PERF.md r5)
+    from vae_captioning_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     cfg = parse_args(argv)
     if cfg.multihost:
         from vae_captioning_tpu.parallel.mesh import initialize_multihost
