@@ -33,6 +33,18 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True)
+def _reset_dp_mesh():
+    """The kernel-shard dp mesh is process-global state that Trainer
+    legitimately sets for its lifetime (parallel/kernel_shard.py) — but a
+    test that builds a Trainer (e.g. the e2e CLI tests) must not leak an
+    8-virtual-device mesh into later tests' single-device assertions
+    (test_kernel_shard saw 'sharded' where it asserted 'single')."""
+    yield
+    from vae_captioning_tpu.parallel import kernel_shard
+    kernel_shard.set_dp_mesh(None)
+
+
 # ----------------------------------------------------------------------
 # synthetic mini-COCO (SURVEY §4: fabricated fixture so no real dataset
 # is needed)
