@@ -126,12 +126,16 @@ def bench_beam_body(batch=2048, beam=3, max_len=30):
 
 
 def bench_train_step(batch=256, k=5, t_len=24, optax_flatten=False,
-                     label="train_step"):
+                     label="train_step", ce_xla_bwd=False,
+                     fused_heads=True):
+    # fused_heads=True is the shipped Config default (round-5 A/B
+    # winner), so the plain "train_step" label measures the default path
     from vae_captioning_tpu.config import Config
     from vae_captioning_tpu.train import (TrainState, init_model,
                                           make_optimizer, make_train_step)
 
-    cfg = Config(prior="AG", use_c_v=True, optax_flatten=optax_flatten)
+    cfg = Config(prior="AG", use_c_v=True, optax_flatten=optax_flatten,
+                 ce_xla_bwd=ce_xla_bwd, fused_heads=fused_heads)
     cfg.vocab_size = 11500
     model, params = init_model(cfg, jax.random.PRNGKey(0))
     tx = make_optimizer(cfg)
@@ -173,6 +177,25 @@ def bench_train_step_flatten_ab(batch=256, k=5, t_len=24):
                      label="train_step_leafwise")
     bench_train_step(batch, k, t_len, optax_flatten=True,
                      label="train_step_flatten")
+
+
+def bench_train_step_ce_ab(batch=256, k=5, t_len=24):
+    """A/B of Config.ce_xla_bwd (XLA CE forward + Pallas dW+db/dh
+    backward — one fewer full pass over the [M, V] logits) against the
+    default all-XLA CE, same process."""
+    bench_train_step(batch, k, t_len, ce_xla_bwd=False,
+                     label="train_step_ce_xla")
+    bench_train_step(batch, k, t_len, ce_xla_bwd=True,
+                     label="train_step_ce_xla_bwd")
+
+
+def bench_train_step_heads_ab(batch=256, k=5, t_len=24):
+    """A/B of Config.fused_heads (fused AG heads+combine Pallas kernels,
+    ops/fused_ag_heads.py) against the XLA heads path, same process."""
+    bench_train_step(batch, k, t_len, fused_heads=False,
+                     label="train_step_heads_xla")
+    bench_train_step(batch, k, t_len, fused_heads=True,
+                     label="train_step_heads_fused")
 
 
 def bench_vgg16(batch=64):
@@ -245,6 +268,8 @@ def bench_finetune_step(batch=32, k=5, t_len=24):
 ALL = {"decode_step": bench_decode_step, "beam_body": bench_beam_body,
        "train_step": bench_train_step,
        "train_flatten_ab": bench_train_step_flatten_ab,
+       "train_ce_ab": bench_train_step_ce_ab,
+       "train_heads_ab": bench_train_step_heads_ab,
        "vgg16": bench_vgg16, "finetune_step": bench_finetune_step}
 
 

@@ -22,13 +22,27 @@ def interpreted(monkeypatch):
     yield
 
 
-IMPLS = ["flash", "hybrid"]
+IMPLS = ["flash", "hybrid", "xla_bwd"]
+
+# flash/hybrid accumulate the forward lse/label-pick from the f32 MXU
+# accumulator, so they match the f32-logits oracle to ~1e-5.  xla_bwd
+# deliberately reproduces the IN-TRAIN incumbent (Dense head: bf16
+# logits, reductions upcast), so its per-row lse/ll carry one bf16
+# logits rounding (~|logit|·2⁻⁸) relative to the oracle.
+_FWD_REL = {"flash": 1e-5, "hybrid": 1e-5, "xla_bwd": 3e-4}
+_DWEIGHT_TOL = {"flash": 1e-4, "hybrid": 1e-4, "xla_bwd": 1e-2}
 
 
 @pytest.fixture(params=IMPLS)
-def impl(request):
-    return (fc.fused_linear_ce if request.param == "flash"
-            else fc.fused_linear_ce_hybrid)
+def impl_name(request):
+    return request.param
+
+
+@pytest.fixture()
+def impl(impl_name):
+    return {"flash": fc.fused_linear_ce,
+            "hybrid": fc.fused_linear_ce_hybrid,
+            "xla_bwd": fc.fused_linear_ce_xla_bwd}[impl_name]
 
 
 def _problem(M=300, H=64, V=2000, seed=0):
@@ -42,11 +56,11 @@ def _problem(M=300, H=64, V=2000, seed=0):
     return h, w, b, labels, weights
 
 
-def test_forward_matches_xla(interpreted, impl):
+def test_forward_matches_xla(interpreted, impl, impl_name):
     args = _problem()
     l1 = float(impl(*args))
     l2 = float(fc.fused_linear_ce_xla(*args))
-    assert l1 == pytest.approx(l2, rel=1e-5)
+    assert l1 == pytest.approx(l2, rel=_FWD_REL[impl_name])
 
 
 def test_grads_match_autodiff(interpreted, impl):
@@ -68,15 +82,16 @@ def test_masked_rows_get_zero_grad(interpreted, impl):
     assert np.abs(np.asarray(dh[5:])).max() > 0
 
 
-def test_weights_cotangent_matches_autodiff(interpreted, impl):
+def test_weights_cotangent_matches_autodiff(interpreted, impl, impl_name):
     """Regression (review finding): d loss / d weights must be the true
     per-row CE (lse − label_logit), not silent zeros."""
     args = _problem(seed=3)
+    tol = _DWEIGHT_TOL[impl_name]
     dw1 = jax.grad(impl, argnums=4)(*args)
     dw2 = jax.grad(fc.fused_linear_ce_xla, argnums=4)(*args)
     assert np.abs(np.asarray(dw1)).max() > 0
     np.testing.assert_allclose(np.asarray(dw1), np.asarray(dw2),
-                               rtol=1e-4, atol=1e-4)
+                               rtol=tol, atol=tol)
 
 
 def test_train_step_fused_flag_matches_plain():

@@ -125,6 +125,19 @@ class Config:
                                 # schedule; see PERF.md round-3 CE
                                 # postmortem).  Kept as a validated
                                 # alternative schedule
+    ce_xla_bwd: bool = False    # XLA CE forward (the roofline incumbent)
+                                # + Pallas backward: dW and db computed
+                                # in ONE pass over the materialized
+                                # logits instead of XLA's separate dW
+                                # fusion + standalone db column-sum
+                                # (round-5 trace: db re-reads the 707 MB
+                                # logits for 0.94 ms).  Round-5 TPU A/B:
+                                # LOSES in-train (18.58 vs 17.95 ms at
+                                # B=256 K=5) — the Pallas dh kernel it
+                                # drags in re-reads W per row block,
+                                # costing more than the saved db pass.
+                                # Stays OFF; kept as a validated
+                                # alternative schedule
     fused_decode: bool = True   # Pallas decode kernels on TPU (kill
                                 # switch for debugging: False = pure XLA)
     fused_lstm_step: bool = True  # fuse the decode LSTM step (embedding
@@ -132,6 +145,17 @@ class Config:
                                 # one Pallas kernel; effective only with
                                 # fused_decode on TPU, 1 decoder layer,
                                 # bfloat16 compute
+    fused_heads: bool = True    # AG prior only: heads matmul + exp +
+                                # c_v combine in one Pallas kernel pair
+                                # (ops/fused_ag_heads.py) — the [B,
+                                # 2·K·L] per-cluster posteriors never
+                                # reach HBM.  bf16 MXU operands with f32
+                                # accumulation (same class as the XLA
+                                # default-precision path).  Round-5 TPU
+                                # A/B: 17.13 ms vs 18.34 ms train step
+                                # at B=256 K=5 → default ON
+                                # (benchmarks/tpu_r5_logs/
+                                # train_tail_ab2.log)
     fused_z: bool = True        # fuse the train-path z-sampling +
                                 # z_proj into one Pallas kernel (on-chip
                                 # PRNG, samples never hit HBM; custom

@@ -57,6 +57,7 @@ class CVAEModel(nn.Module):
     compute_dtype: Any = jnp.float32
     use_fused_seq: bool = False
     use_fused_z: bool = False
+    use_fused_heads: bool = False
 
     @classmethod
     def from_config(cls, cfg: Config) -> "CVAEModel":
@@ -68,6 +69,8 @@ class CVAEModel(nn.Module):
         on_tpu = _jax.default_backend() == "tpu" or cfg.fused_force
         use_fused_seq = cfg.fused_lstm_seq and on_tpu and is_bf16
         use_fused_z = cfg.fused_z and on_tpu and is_bf16
+        use_fused_heads = (cfg.fused_heads and on_tpu and is_bf16
+                           and cfg.prior == "AG")
         return cls(
             vocab_size=cfg.vocab_size,
             embed_size=cfg.embed_size,
@@ -88,6 +91,7 @@ class CVAEModel(nn.Module):
             compute_dtype=jnp.dtype(cfg.compute_dtype),
             use_fused_seq=use_fused_seq,
             use_fused_z=use_fused_z,
+            use_fused_heads=use_fused_heads,
         )
 
     # ------------------------------------------------------------------
@@ -102,7 +106,8 @@ class CVAEModel(nn.Module):
                 num_layers=self.encoder_layers, prior=self.prior,
                 num_clusters=self.num_clusters, use_c_v=self.use_c_v,
                 compute_dtype=self.compute_dtype,
-                use_fused_seq=self.use_fused_seq, name="encoder")
+                use_fused_seq=self.use_fused_seq,
+                use_fused_heads=self.use_fused_heads, name="encoder")
         self.decoder = Decoder(
             vocab_size=self.vocab_size, embed_size=self.embed_size,
             hidden_size=self.decoder_hidden, num_layers=self.decoder_layers,
@@ -287,10 +292,12 @@ def compute_loss(
     """
     if "hidden" in outputs:
         from vae_captioning_tpu.ops.fused_ce import (fused_linear_ce,
-                                                     fused_linear_ce_hybrid)
+                                                     fused_linear_ce_hybrid,
+                                                     fused_linear_ce_xla_bwd)
         from vae_captioning_tpu.parallel.kernel_shard import linear_ce
-        ce_fn = (fused_linear_ce if ce_kernel == "flash"
-                 else fused_linear_ce_hybrid)
+        ce_fn = {"flash": fused_linear_ce,
+                 "hybrid": fused_linear_ce_hybrid,
+                 "xla_bwd": fused_linear_ce_xla_bwd}[ce_kernel]
         w, b = logits_params
         # flattening + PAD-mask weights happen inside linear_ce so a
         # >1-device mesh can shard rows BEFORE the time/batch dims mix

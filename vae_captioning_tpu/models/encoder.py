@@ -37,6 +37,7 @@ class Encoder(nn.Module):
     use_c_v: bool = False
     compute_dtype: Any = jnp.float32
     use_fused_seq: bool = False
+    use_fused_heads: bool = False  # AG only: ops/fused_ag_heads.py
 
     def setup(self):
         self.embedding = nn.Embed(self.vocab_size, self.embed_size,
@@ -78,6 +79,20 @@ class Encoder(nn.Module):
         # (final_state[0][1], ref :56-58) — identical at the default one
         # layer, and matched here for multi-layer parity
         h = carry[0][1]
+
+        if (self.prior == "AG" and self.use_fused_heads
+                and not self.is_initializing()):
+            # heads matmul + exp + c_v combine in ONE Pallas pass — the
+            # [B, 2·K·L] q tensor and its two [B, K, L] reshapes (0.66 ms
+            # of pure relayout in the round-5 trace) never reach HBM
+            # (ops/fused_ag_heads.py; dp shard_map wrapper).  The plain
+            # branch below runs at init so q_heads params are created
+            # either way.
+            from vae_captioning_tpu.parallel.kernel_shard import ag_heads
+            assert c_v is not None, "AG prior requires cluster vectors"
+            kernel = self.q_heads.variables["params"]["kernel"]
+            bias = self.q_heads.variables["params"]["bias"]
+            return ag_heads(h, kernel, bias, c_v)
 
         q = self.q_heads(h)                       # [B, 2·(K·)L] one dot
         raw_mean, raw_logstd = q[:, :self._q_half], q[:, self._q_half:]

@@ -366,8 +366,12 @@ def _dwdb_mat_kernel(h_ref, lg_ref, lab_ref, lse_ref, gw_ref,
 
 
 _BMD = 512  # dh row block: fewer W re-reads than 256 (60 vs 120 sweeps
-            # at reference rows) while keeping VMEM ≈ 8 MB, clear of the
-            # 16 MiB scoped-VMEM edge
+            # at reference rows) while keeping VMEM ≈ 8 MB.  2048 was
+            # A/B'd on TPU in round 5 (fewer W sweeps in theory) and
+            # measured 1.4 ms SLOWER in-train — the larger working set
+            # breaks the DMA/compute overlap; don't retry without a
+            # profiler trace
+_VMEM_LIMIT_DH = 100 * 1024 * 1024
 
 
 def _dh_mat_kernel(lg_ref, w_ref, lab_ref, lse_ref, gw_ref, dh_ref,
@@ -485,6 +489,8 @@ def _bwd_mat(res, g):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Md, H), jnp.float32),
         scratch_shapes=[pltpu.VMEM((_BMD, H), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_DH),
         cost_estimate=pl.CostEstimate(
             flops=2 * Md * H * Vp,
             bytes_accessed=(Md * Vp * 2
@@ -533,6 +539,77 @@ def _bwd_mat(res, g):
 
 
 fused_linear_ce_hybrid.defvjp(_fwd_mat, _bwd_mat)
+
+
+# ----------------------------------------------------------------------
+# XLA forward + Pallas backward ("xla_bwd", Config.ce_xla_bwd)
+# ----------------------------------------------------------------------
+#
+# The round-3 postmortem (PERF.md) found the HYBRID's loss came entirely
+# from its forward: the in-kernel lse/label VPU passes serialize against
+# the MXU matmul, while XLA's unfused forward (matmul+write, then one
+# fused convert/reduce pass) is already at its materialized-logits
+# roofline.  The backward is a different story: XLA runs THREE separate
+# full passes over the [M, V] logits (dW fusion, dh fusion, and a
+# standalone db column-sum — the round-5 trace puts db at 0.94 ms of
+# pure re-read), whereas the hybrid's _dwdb_mat_kernel folds db into the
+# dW pass for free (a VPU column-sum overlapping the MXU accumulation).
+# This variant therefore pairs the incumbent XLA forward — bit-identical
+# math to compute_loss's logits branch — with the round-3 Pallas
+# backward kernels, reused verbatim: the one genuinely new schedule the
+# postmortem left open.
+
+@jax.custom_vjp
+def fused_linear_ce_xla_bwd(h: jax.Array, w: jax.Array, b: jax.Array,
+                            labels: jax.Array, weights: jax.Array
+                            ) -> jax.Array:
+    """Same contract as ``fused_linear_ce`` (Σ weights·CE); XLA forward,
+    hybrid's Pallas backward reused verbatim (``_bwd_mat``: dW+db in ONE
+    logits pass + the ``_dh_mat_kernel`` dh).  Round-5 TPU A/B: LOSES
+    in-train (18.58 vs 17.95 ms at B=256 K=5,
+    benchmarks/tpu_r5_logs/train_tail_ab2.log) — the Pallas dh re-reads
+    W once per row block (~708 MB extra HBM at reference shapes),
+    costing more than the db column-sum pass the dW kernel saves.
+    Ships default-OFF as a validated alternative schedule."""
+    loss, _ = _fwd_xla(h, w, b, labels, weights)
+    return loss
+
+
+def _fwd_xla(h, w, b, labels, weights):
+    h16, w16, bf, lab, wt, M, V = _pad_all(h, w, b, labels, weights)
+    Vp = w16.shape[1]
+    if Vp != V:
+        # -NEG bias on the pad columns: their exp underflows to exactly
+        # 0.0 inside the lse, and the bwd kernels' p = exp(lg − lse) is
+        # exactly 0 there, so pad columns contribute nothing to dW/db/dh
+        bf = bf.at[V:].set(_NEG)
+    # bf16 matmul + bf16 bias add — same compute path as the Dense head
+    # the incumbent XLA branch runs (compute_loss logits branch)
+    lg = (jax.lax.dot_general(h16, w16, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.bfloat16)
+          + bf.astype(jnp.bfloat16)[None, :])
+    # identical reduction formulation to compute_loss's logits branch:
+    # converts live inside single-consumer elementwise chains so XLA
+    # fuses all three V-reductions into one HBM pass over lg
+    m = jax.lax.stop_gradient(jnp.max(lg, axis=-1, keepdims=True))
+    sumexp = jnp.sum(jnp.exp((lg - m).astype(jnp.float32)), axis=-1)
+    lse = jnp.log(sumexp) + m[:, 0].astype(jnp.float32)
+    onehot = (lab[:, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (1, Vp), 1))
+    ll = jnp.sum(jnp.where(onehot, lg, 0).astype(jnp.float32), axis=-1)
+    loss = jnp.sum(wt * (lse - ll))
+    # residual tuple shaped exactly as _fwd_mat's (bwd kernels shared)
+    return loss, (h, w, labels, weights, lg,
+                  lse.reshape(-1, 1), ll.reshape(-1, 1))
+
+
+# A variant computing dh via hand-written jnp (exp/onehot/gw chain then
+# dot) was tried and discarded during development: XLA materializes the
+# hand-written dl16 [M, V] as its own HBM pass instead of fusing it
+# into the dot operand (the same pathology the _dh_mat_kernel docstring
+# records), so it cannot beat reusing _bwd_mat — which itself loses the
+# in-train A/B above.  This whole schedule ships default-off.
+fused_linear_ce_xla_bwd.defvjp(_fwd_xla, _bwd_mat)
 
 
 # ----------------------------------------------------------------------

@@ -150,6 +150,29 @@ def sample_project(seed: jax.Array, mean: jax.Array, std: jax.Array,
 
 
 # ----------------------------------------------------------------------
+# fused AG recognition heads (ops/fused_ag_heads.py)
+# ----------------------------------------------------------------------
+
+def ag_heads(h: jax.Array, w: jax.Array, b: jax.Array, c_v: jax.Array):
+    """dp-sharded ``fused_ag_heads``: rows split, the q_heads weights
+    replicated.  Row-independent forward (sharded == single per row up
+    to the same kernel rounding); the replicated w/b cotangents are
+    psummed by the shard_map transpose exactly as for lstm_seq."""
+    from vae_captioning_tpu.ops.fused_ag_heads import fused_ag_heads
+
+    ctx = _active(batch_dim=h.shape[0])
+    if ctx is None:
+        return fused_ag_heads(h, w, b, c_v)
+    mesh, ax = ctx
+    f = jax.shard_map(
+        fused_ag_heads, mesh=mesh,
+        in_specs=(P(ax), P(), P(), P(ax)),
+        out_specs=(P(ax), P(ax)),
+        check_vma=False)
+    return f(h, w, b, c_v)
+
+
+# ----------------------------------------------------------------------
 # decode-path kernels (ops/fused_lstm_step.py, ops/fused_logits_topk.py)
 #
 # Same hole as the train path, serving-side: a multi-chip batch decode

@@ -205,8 +205,10 @@ def make_train_step(model: CVAEModel, tx: optax.GradientTransformation,
         cfg.num_clusters, cfg.latent_size, cfg.seed))
     needs_cv = cfg.needs_cluster_vectors
     on_tpu = jax.default_backend() == "tpu" or cfg.fused_force
-    use_fused_ce = (cfg.fused_ce or cfg.ce_hybrid) and on_tpu
-    ce_kernel = "flash" if cfg.fused_ce else "hybrid"
+    use_fused_ce = (cfg.fused_ce or cfg.ce_hybrid or cfg.ce_xla_bwd) \
+        and on_tpu
+    ce_kernel = ("flash" if cfg.fused_ce
+                 else "hybrid" if cfg.ce_hybrid else "xla_bwd")
 
     def step_fn(state: TrainState, features, enc, dec, lengths, c_v, rng):
         step_rng = jax.random.fold_in(rng, state.step)
@@ -249,9 +251,10 @@ def make_eval_step(model: CVAEModel, cfg: Config):
     cluster_means = jnp.asarray(dist.init_cluster_means(
         cfg.num_clusters, cfg.latent_size, cfg.seed))
     needs_cv = cfg.needs_cluster_vectors
-    use_fused_ce = (cfg.fused_ce or cfg.ce_hybrid) and \
+    use_fused_ce = (cfg.fused_ce or cfg.ce_hybrid or cfg.ce_xla_bwd) and \
         (jax.default_backend() == "tpu" or cfg.fused_force)
-    ce_kernel = "flash" if cfg.fused_ce else "hybrid"
+    ce_kernel = ("flash" if cfg.fused_ce
+                 else "hybrid" if cfg.ce_hybrid else "xla_bwd")
 
     def eval_fn(params, features, enc, dec, lengths, c_v, rng):
         rngs = {"z": rng, "sample": jax.random.fold_in(rng, 1)}
