@@ -127,7 +127,7 @@ def bench_beam_body(batch=2048, beam=3, max_len=30):
 
 def bench_train_step(batch=256, k=5, t_len=24, optax_flatten=False,
                      label="train_step", ce_xla_bwd=False,
-                     fused_heads=True):
+                     fused_heads=True, ce_bias_fold=False):
     # fused_heads=True is the shipped Config default (round-5 A/B
     # winner), so the plain "train_step" label measures the default path
     from vae_captioning_tpu.config import Config
@@ -135,7 +135,8 @@ def bench_train_step(batch=256, k=5, t_len=24, optax_flatten=False,
                                           make_optimizer, make_train_step)
 
     cfg = Config(prior="AG", use_c_v=True, optax_flatten=optax_flatten,
-                 ce_xla_bwd=ce_xla_bwd, fused_heads=fused_heads)
+                 ce_xla_bwd=ce_xla_bwd, fused_heads=fused_heads,
+                 ce_bias_fold=ce_bias_fold)
     cfg.vocab_size = 11500
     model, params = init_model(cfg, jax.random.PRNGKey(0))
     tx = make_optimizer(cfg)
@@ -196,6 +197,16 @@ def bench_train_step_heads_ab(batch=256, k=5, t_len=24):
                      label="train_step_heads_xla")
     bench_train_step(batch, k, t_len, fused_heads=True,
                      label="train_step_heads_fused")
+
+
+def bench_train_step_biasfold_ab(batch=256, k=5, t_len=24):
+    """A/B of Config.ce_bias_fold (logits = [h ‖ 1] @ [[W],[b]]: db
+    falls out of XLA's dW fusion, no standalone [N, V] column-sum pass)
+    against the Dense logits head, same process."""
+    bench_train_step(batch, k, t_len, ce_bias_fold=False,
+                     label="train_step_bias_dense")
+    bench_train_step(batch, k, t_len, ce_bias_fold=True,
+                     label="train_step_bias_fold")
 
 
 def bench_vgg16(batch=64):
@@ -270,6 +281,7 @@ ALL = {"decode_step": bench_decode_step, "beam_body": bench_beam_body,
        "train_flatten_ab": bench_train_step_flatten_ab,
        "train_ce_ab": bench_train_step_ce_ab,
        "train_heads_ab": bench_train_step_heads_ab,
+       "train_biasfold_ab": bench_train_step_biasfold_ab,
        "vgg16": bench_vgg16, "finetune_step": bench_finetune_step}
 
 

@@ -122,6 +122,32 @@ def test_train_step_ag_prior():
     assert float(m["kld"]) != 0.0
 
 
+def test_train_step_bias_fold_matches_dense():
+    """Config.ce_bias_fold ([h ‖ 1] @ [[W],[b]] logits head) must track
+    the Dense path: same param tree, losses equal to the one-extra-bf16-
+    rounding class over real update steps."""
+    losses = {}
+    for fold in (False, True):
+        cfg = small_config(prior="AG", use_c_v=True, ce_bias_fold=fold)
+        model, params = init_model(cfg, jax.random.PRNGKey(0))
+        tx = make_optimizer(cfg)
+        state = TrainState.create(params, tx)
+        step = make_train_step(model, tx, cfg, donate=False)
+        from vae_captioning_tpu.train import _flatten_batch
+        args = [jnp.asarray(x) for x in _flatten_batch(make_host_batch())]
+        run = []
+        for i in range(3):
+            state, m = step(state, *args,
+                            jax.random.fold_in(jax.random.PRNGKey(1), i))
+            run.append(float(m["loss"]))
+        losses[fold] = np.asarray(run)
+        # identical param tree either way (the Dense branch runs at init)
+        paths = {"/".join(str(k) for k in p)
+                 for p, _ in jax.tree_util.tree_flatten_with_path(params)[0]}
+        assert any("rnn_logits" in s for s in paths), paths
+    np.testing.assert_allclose(losses[False], losses[True], rtol=2e-3)
+
+
 def test_train_step_ag_kl_sum():
     """Config.ag_kl_sum = the reference's implicit batch-sum AG-KL
     weighting: the reported kld at identical params/rng is exactly

@@ -138,6 +138,18 @@ class Config:
                                 # costing more than the saved db pass.
                                 # Stays OFF; kept as a validated
                                 # alternative schedule
+    ce_bias_fold: bool = False  # train-path logits head: compute
+                                # [h ‖ 1] @ [[W],[b]] instead of the
+                                # Dense so db falls out of XLA's dW
+                                # fusion as its last row.  Round-5 TPU
+                                # A/B: NEUTRAL (17.31 vs 17.32 ms at
+                                # B=256 K=5) — current XLA no longer
+                                # pays round 3's standalone 0.94 ms db
+                                # column-sum (the fold's [513, 11500]
+                                # dW' is only +0.1 ms over the plain
+                                # dW, i.e. db was already ~free).
+                                # Stays OFF (Dense = simpler graph);
+                                # kept as a validated-neutral schedule
     fused_decode: bool = True   # Pallas decode kernels on TPU (kill
                                 # switch for debugging: False = pure XLA)
     fused_lstm_step: bool = True  # fuse the decode LSTM step (embedding

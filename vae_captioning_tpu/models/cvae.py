@@ -58,6 +58,7 @@ class CVAEModel(nn.Module):
     use_fused_seq: bool = False
     use_fused_z: bool = False
     use_fused_heads: bool = False
+    use_bias_fold: bool = False
 
     @classmethod
     def from_config(cls, cfg: Config) -> "CVAEModel":
@@ -71,6 +72,10 @@ class CVAEModel(nn.Module):
         use_fused_z = cfg.fused_z and on_tpu and is_bf16
         use_fused_heads = (cfg.fused_heads and on_tpu and is_bf16
                            and cfg.prior == "AG")
+        # pure XLA, no TPU gate — but only worthwhile (and only changes
+        # the backward schedule) when the train step takes the logits
+        # branch, so honor the flag as given
+        use_bias_fold = cfg.ce_bias_fold
         return cls(
             vocab_size=cfg.vocab_size,
             embed_size=cfg.embed_size,
@@ -92,6 +97,7 @@ class CVAEModel(nn.Module):
             use_fused_seq=use_fused_seq,
             use_fused_z=use_fused_z,
             use_fused_heads=use_fused_heads,
+            use_bias_fold=use_bias_fold,
         )
 
     # ------------------------------------------------------------------
@@ -114,7 +120,8 @@ class CVAEModel(nn.Module):
             use_c_v=self.use_c_v, dec_keep_rate=self.dec_keep_rate,
             dec_lstm_drop=self.dec_lstm_drop,
             compute_dtype=self.compute_dtype,
-            use_fused_seq=self.use_fused_seq, name="decoder")
+            use_fused_seq=self.use_fused_seq,
+            use_bias_fold=self.use_bias_fold, name="decoder")
         # fixed (non-trainable) cluster means, deterministic in the seed —
         # replaces the pickled matrix of utils/vae_utils.py:6-31
         self.cluster_means = jnp.asarray(dist.init_cluster_means(

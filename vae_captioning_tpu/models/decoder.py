@@ -32,6 +32,9 @@ class Decoder(nn.Module):
     dec_lstm_drop: float = 1.0     # LSTM output dropout keep rate (ref :88-95)
     compute_dtype: Any = jnp.float32
     use_fused_seq: bool = False
+    use_bias_fold: bool = False  # train-path logits: ones-augmented
+    #                              matmul so XLA's dW fusion yields db
+    #                              as its last row (Config.ce_bias_fold)
 
     def setup(self):
         self.embedding = nn.Embed(self.vocab_size, self.embed_size,
@@ -155,6 +158,25 @@ class Decoder(nn.Module):
                                time_major_out=time_major)
         if return_hidden:
             return outputs
+        if self.use_bias_fold and not self.is_initializing():
+            # Fold the rnn_logits bias into the weight matrix: logits =
+            # [h ‖ 1] @ [[W], [b]].  Same bf16 compute class as the
+            # Dense (bias rounds once through the f32 MXU accumulator
+            # instead of once in the bf16 epilogue add), but the
+            # BACKWARD changes structurally: db is the last row of the
+            # dW' dot instead of XLA's standalone [N, V] column-sum —
+            # which re-reads the 707 MB logits AND recomputes dl for
+            # 0.94 ms/step in the round-5 trace.  Param tree unchanged
+            # (the Dense branch runs at init), so checkpoints are
+            # unaffected.
+            w = self.logits_head.variables["params"]["kernel"]
+            b = self.logits_head.variables["params"]["bias"]
+            dt = self.compute_dtype
+            ones = jnp.ones((*outputs.shape[:-1], 1), dt)
+            hb = jnp.concatenate([outputs.astype(dt), ones], axis=-1)
+            wb = jnp.concatenate([w, b[None, :]], axis=0).astype(dt)
+            return jax.lax.dot_general(
+                hb, wb, (((hb.ndim - 1,), (0,)), ((), ())))
         return self.logits_head(outputs)
 
     # ------------------------------------------------------------------
