@@ -15,7 +15,8 @@ metric line.  Now the bench
 
 1. compiles + times a SMALL batch (512) first and prints its metric JSON
    line immediately (flushed) — a number exists within the first compile;
-2. upgrades through 1024 to 4096 (the best measured per-chip point),
+2. upgrades through 1024 and 4096 to 8192 (the best measured per-chip
+   point),
    printing the better line after each stage, and skips an upgrade whose
    projected cost (setup scaled sublinearly at batch_ratio**0.5 +
    iterations scaled linearly, x1.15 headroom) does not fit the
@@ -67,10 +68,14 @@ _ONE_TIME_SETUP_S = 140.0
 BEAM = 3
 # progressive batch schedule: 512 puts a FIRST metric line on stdout at
 # the earliest possible moment (smallest useful compile through the
-# relay; still ~20x baseline); 1024 compiles in ~2-3 min; 4096 is the
-# measured per-chip optimum (PERF.md batch sweep: 2048 -> 27.5k,
-# 4096 -> 35.9k caps/s round-2 stack)
-BATCHES = (512, 1024, 4096)
+# relay; still ~20x baseline); 1024 compiles in ~2-3 min; 8192 is the
+# measured per-chip optimum once the fused top-K kernel's scoped-VMEM
+# limit covers M=24576 (same-process A/B 2026-08-19: 4096 -> 33.5k,
+# 8192 -> 37.8k caps/s/chip, +12.8%; the 8192 executable compiled in
+# 17 s — the round-2 ">9 min" figure predates the remote compile
+# service + persistent cache).  The projection gate still skips the
+# upgrade when the remaining budget can't fit it.
+BATCHES = (512, 1024, 4096, 8192)
 GEN_MAX_LEN = 30
 VOCAB = 11500
 

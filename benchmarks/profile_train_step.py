@@ -57,17 +57,17 @@ def main(trace_dir="/tmp/train_step_trace", batch=256, k=5, t_len=24):
         float(out)
 
     path = xplane.resolve_trace_path(trace_dir)
-    ops = xplane.aggregate(path)
-    rows = []
-    for name, stats in ops.items():
-        total = sum(s.duration_ms for s in stats)
-        rows.append((total, len(stats), name))
-    rows.sort(reverse=True)
-    print(f"\n== top ops by total ms over 20 steps ({path}) ==")
-    for total, n, name in rows[:45]:
-        print(f"{total:9.3f} ms  x{n:<4d} {name}")
-    print(f"\ntotal device ms: {sum(r[0] for r in rows):.2f} "
-          f"over 20 steps = {sum(r[0] for r in rows)/20:.3f} ms/step")
+    planes = xplane.aggregate(path)   # {plane_name: [OpStats], ...}
+    print(f"\n== per-op cost over 20 steps ({path}) ==")
+    for pname, ops in planes.items():
+        if "TPU" not in pname and "device" not in pname:
+            continue
+        total = sum(o.duration_ms for o in ops)
+        print(f"\n-- plane {pname}: {len(ops)} distinct ops, "
+              f"Σ {total:.2f} ms = {total / 20:.3f} ms/step "
+              f"(async spans overlap) --")
+        for o in ops[:45]:
+            print(f"{o.duration_ms:9.3f} ms  x{o.count:<5d} {o.name[:110]}")
 
 
 if __name__ == "__main__":

@@ -60,10 +60,14 @@ def _vocab_tile(k: int) -> int:
 # The default scoped-VMEM limit is 16 MiB and the k≤4 configuration
 # (double-buffered [H, 3840] weight tile + f32 tile + extraction work
 # copies) sits right at it — some surrounding programs tip it a few
-# percent over and fail to compile.  17 MiB restores headroom and
-# measures at parity with the unlimited default (0.857 vs 0.842 ms/step
-# at M=6144, k=3); the limit VALUE is not speed-sensitive (17 ≈ 32).
-_VMEM_LIMIT = 17 * 1024 * 1024
+# percent over and fail to compile.  The running-state scratch also
+# scales with TOTAL rows (k·Mp·4×2 + 2·Mp·4): at M=24576 (batch-8192
+# beam-3 decode) 17 MiB tips over by ~112 KB ("stack oom" at compile).
+# 32 MiB covers every shape we run and measures at parity with both the
+# unlimited default and 17 MiB (0.857 vs 0.842 ms/step at M=6144 k=3;
+# the limit VALUE is not speed-sensitive — it only caps what Mosaic may
+# co-schedule, it does not reserve memory).
+_VMEM_LIMIT = 32 * 1024 * 1024
 _NEG = -1e30  # plain float: jnp scalars can't be captured by the kernel
 _IMIN = -2**31 + 1
 
