@@ -15,8 +15,8 @@ metric line.  Now the bench
 
 1. compiles + times a SMALL batch (512) first and prints its metric JSON
    line immediately (flushed) — a number exists within the first compile;
-2. upgrades through 1024 and 4096 to 8192 (the best measured per-chip
-   point),
+2. upgrades through 1024, 4096 and 8192 to 32768 (the measured
+   per-chip knee),
    printing the better line after each stage, and skips an upgrade whose
    projected cost (setup scaled sublinearly at batch_ratio**0.5 +
    iterations scaled linearly, x1.15 headroom) does not fit the
@@ -68,14 +68,17 @@ _ONE_TIME_SETUP_S = 140.0
 BEAM = 3
 # progressive batch schedule: 512 puts a FIRST metric line on stdout at
 # the earliest possible moment (smallest useful compile through the
-# relay; still ~20x baseline); 1024 compiles in ~2-3 min; 8192 is the
-# measured per-chip optimum once the fused top-K kernel's scoped-VMEM
-# limit covers M=24576 (same-process A/B 2026-08-19: 4096 -> 33.5k,
-# 8192 -> 37.8k caps/s/chip, +12.8%; the 8192 executable compiled in
-# 17 s — the round-2 ">9 min" figure predates the remote compile
-# service + persistent cache).  The projection gate still skips the
-# upgrade when the remaining budget can't fit it.
-BATCHES = (512, 1024, 4096, 8192)
+# relay; still ~20x baseline); 1024 compiles in ~2-3 min; 32768 is the
+# measured per-chip knee once the fused top-K kernel's scoped-VMEM
+# limit covers the larger row counts (same-process A/B ladder
+# 2026-08-19: 4096 -> 33.5k, 8192 -> 37.8k (+12.8%), 16384 -> 40.5k,
+# 32768 -> 41.5-42.7k, 65536 -> 43.0k (+0.7%, not worth 2x latency);
+# the 32768 executable compiles in 26-32 s — the round-2 ">9 min"
+# figure predates the remote compile service + persistent cache).
+# 16384 is skipped: its marginal gain straddles run-to-run noise and
+# every stage costs driver budget.  The projection gate still skips an
+# upgrade the remaining budget can't fit.
+BATCHES = (512, 1024, 4096, 8192, 32768)
 GEN_MAX_LEN = 30
 VOCAB = 11500
 
