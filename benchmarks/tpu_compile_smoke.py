@@ -19,10 +19,15 @@ tier, or standalone from ``benchmarks/run_tpu_pending.sh``-style
 sessions.)
 """
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+# standalone-invocation robustness: `python benchmarks/tpu_compile_smoke.py`
+# puts benchmarks/ (not the repo root) on sys.path[0]
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _require_tpu():
@@ -153,6 +158,25 @@ def _case_logits_topk():
     return (jax.jit(functools.partial(fused_logits_top_k, k=k)), (h, w, b))
 
 
+def _case_logits_topk_maxM():
+    """PRODUCTION max-row shape: M = 32768·3 (the bench's largest batch
+    at beam 3), full H=512 / vocab 11500.  The kernel's running-state
+    scratch scales with TOTAL rows and tipped the old 17 MiB
+    scoped-VMEM limit at M=24576 ('stack oom' at compile) — this case
+    pins the 32 MiB headroom at the largest shape we actually run, so
+    a future limit/scratch regression fails here, not in the bench."""
+    import jax
+    import jax.numpy as jnp
+    from vae_captioning_tpu.ops.fused_logits_topk import fused_logits_top_k
+    M, H, V, k = 32768 * 3, 512, 11500, 3
+    r = np.random.default_rng(9)
+    h = jnp.asarray(r.normal(size=(M, H)).astype(np.float32))
+    w = jnp.asarray(r.normal(0, 0.05, (H, V)).astype(np.float32))
+    b = jnp.zeros((V,), jnp.float32)
+    import functools
+    return (jax.jit(functools.partial(fused_logits_top_k, k=k)), (h, w, b))
+
+
 def _case_logits_topk_int8():
     import jax
     import jax.numpy as jnp
@@ -202,6 +226,7 @@ CASES = {
     "ce_xla_bwd": _ce_case("fused_linear_ce_xla_bwd"),
     "lstm_step": _case_lstm_step,        # decode
     "logits_topk": _case_logits_topk,    # decode (default ON, k>4)
+    "logits_topk_maxM": _case_logits_topk_maxM,  # VMEM-limit headroom
     "logits_topk_int8": _case_logits_topk_int8,
     "logits_sample": _case_logits_sample,
     "topk_lse": _case_topk_lse,
