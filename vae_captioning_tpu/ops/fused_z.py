@@ -41,6 +41,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LANES = 256          # latent dim padded to this many lanes (L = 150)
 _ROOT2 = 1.4142135623730951
+# The bwd keeps dmu/dsg (2·[M, Lp] f32, M = B·K rows) resident across
+# the sample grid plus the full dW' ([K_z·Lp, E] f32 = 26.2 MB at
+# reference dims) on the Mosaic VMEM stack; under the 32 MiB default
+# that caps the per-chip train batch at 512 (M=2560) — B=1024 needs
+# 36.25M and fails compile with "stack oom".  64 MiB covers B·K up to
+# ~10k rows (measured on TPU: B=1024 and B=2048 both compile and run —
+# 15.8k / 16.0k img/s, the train-ladder knee, PERF.md round-5) and,
+# like the top-K kernel's limit, the VALUE only caps what Mosaic may
+# co-schedule — it reserves nothing and measures speed-neutral at
+# B=256.  Row-tiling dmu/dsg would lift the ceiling entirely but
+# changes the eps tile shape (a different, stream-incompatible draw);
+# beyond B≈2048/chip the intended scaling axis is dp sharding anyway.
+_VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def _normal_tile(seed0, seed1, s: int, tag: int, shape) -> jax.Array:
@@ -157,6 +170,7 @@ def _fwd(seed, mean, std, w, b, n_samples):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, E), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((B, E), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * n_samples * Lp * E,
             bytes_accessed=(B * Lp * 8 + n_samples * Lp * E * 2
@@ -199,6 +213,7 @@ def _bwd(n_samples, res, g):
         ),
         scratch_shapes=[pltpu.VMEM((B, Lp), jnp.float32),
                         pltpu.VMEM((B, Lp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * n_samples * Lp * E,
             bytes_accessed=(B * Lp * 16 + n_samples * Lp * E * 6
