@@ -263,6 +263,16 @@ def test_config_cli_flags():
     assert cfg.seed == 7
 
 
+def test_config_set_coerces_optional_int():
+    """--set on an Optional[int] field (default None) must coerce by the
+    declared annotation, not the runtime None (which has no type to
+    dispatch on) — a string '4096' batch size breaks the batcher."""
+    from vae_captioning_tpu.config import parse_args
+    cfg = parse_args(["--set", "gen_batch_size=4096"])
+    assert cfg.gen_batch_size == 4096
+    assert isinstance(cfg.gen_batch_size, int)
+
+
 def test_config_reference_readme_ag_example():
     """The reference README's exact AG training command must parse
     verbatim (ref README.md usage section), incl. the ignored --gpu."""

@@ -83,6 +83,36 @@ def test_inference_writes_coco_eval_json(trained_run, mini_coco):
     assert len(set(ids)) == 4
 
 
+def test_inference_gen_batch_size_invariant(trained_run, mini_coco):
+    """--set gen_batch_size=N (TPU-native addition: batch inference at
+    the decode-throughput knee, PERF.md round-5 ladders) must produce
+    captions identical to the default batch_size decode — batching is a
+    throughput lever, never a results change."""
+    from vae_captioning_tpu.cli import main
+    cwd = os.getcwd()
+    os.chdir(trained_run)
+    try:
+        # independent of the t1-producing test: generate both arms here
+        main(["--mode", "inference", "--coco_dir", mini_coco,
+              "--checkpoint", "e2e_run", "--gen_name", "t2base",
+              "--sample_gen", "beam_search", "--beam_size", "3", *TINY])
+        main(["--mode", "inference", "--coco_dir", mini_coco,
+              "--checkpoint", "e2e_run", "--gen_name", "t2big",
+              "--sample_gen", "beam_search", "--beam_size", "3",
+              "--set", "gen_batch_size=8", *TINY])
+    finally:
+        os.chdir(cwd)
+
+    def by_id(path):
+        with open(path) as f:
+            return sorted(json.load(f), key=lambda c: c["image_id"])
+
+    for split in ("val", "test"):
+        base = by_id(os.path.join(trained_run, f"{split}_t2base.json"))
+        big = by_id(os.path.join(trained_run, f"{split}_t2big.json"))
+        assert base == big
+
+
 def test_generator_with_detector_vectors(trained_run, mini_coco, vgg_npz):
     """The single-image API must decode an arbitrary image with a
     detector-derived cluster vector (VERDICT r1 #9: the reference's

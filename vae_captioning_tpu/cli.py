@@ -53,6 +53,7 @@ def run_inference_mode(cfg: Config, data: Optional[Data] = None):
         model_cfg = saved_cfg.replace(
             mode="inference", sample_gen=cfg.sample_gen,
             beam_size=cfg.beam_size, temperature=cfg.temperature,
+            gen_batch_size=cfg.gen_batch_size,    # run-time preference
             gen_name=cfg.gen_name, coco_dir=cfg.coco_dir,
             hdf5_file=cfg.hdf5_file,            # keep coco_dir-derived
             raw_images_file=cfg.raw_images_file,  # paths consistent
@@ -79,8 +80,12 @@ def run_inference_mode(cfg: Config, data: Optional[Data] = None):
     state = ckpt.restore(state)
     ckpt.close()
 
+    # decode throughput scales with batch to a knee (PERF.md round-5
+    # ladders); gen_batch_size lets batch inference ride it without
+    # touching the training batch size
     written = run_inference(model_cfg, state.params, vocab,
-                            data.val_batcher(), data.test_batcher())
+                            data.val_batcher(model_cfg.gen_batch_size),
+                            data.test_batcher(model_cfg.gen_batch_size))
     return written
 
 

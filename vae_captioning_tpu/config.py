@@ -49,6 +49,12 @@ class Config:
     beam_size: int = 10
     gen_max_len: int = 30
     len_norm_f: float = 0.7     # beam length-normalization exponent
+    # Batch-inference decode batch (TPU-native addition, no reference
+    # equivalent — the ref decodes at batch_size).  None keeps the
+    # reference behavior; decode throughput scales with batch to a knee
+    # (beam-3: 32768, greedy: 65536 rows — PERF.md round-5 ladders), so
+    # production batch inference should set e.g. 4096-32768.
+    gen_batch_size: Optional[int] = None
 
     # --- encoder (ref utils/parameters.py:20-21) ---
     encoder_rnn_layers: int = 1
@@ -365,13 +371,21 @@ def build_arg_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _coerce(value: str, target: Any) -> Any:
+def _coerce(value: str, target: Any, declared: Any = None) -> Any:
     if isinstance(target, bool):
         return value.lower() in ("1", "true", "yes", "on")
     if isinstance(target, int):
         return int(value)
     if isinstance(target, float):
         return float(value)
+    if target is None and declared is not None:
+        # Optional[T] fields default to None, so the runtime value can't
+        # drive the dispatch — use the declared annotation's inner type
+        # (e.g. --set gen_batch_size=4096 must become an int, not "4096")
+        import typing
+        inner = [t for t in typing.get_args(declared) if t is not type(None)]
+        if inner and inner[0] in (int, float):
+            return inner[0](value)
     return value
 
 
@@ -399,13 +413,16 @@ def parse_args(argv: Optional[list] = None) -> Config:
         overrides.setdefault("raw_images_file", "")
 
     defaults = Config()
+    import typing
+    hints = typing.get_type_hints(Config)
     for item in args.set:
         if "=" not in item:
             raise ValueError(f"--set expects KEY=VALUE, got {item!r}")
         key, value = item.split("=", 1)
         if not hasattr(defaults, key):
             raise ValueError(f"unknown Config field {key!r}")
-        overrides[key] = _coerce(value, getattr(defaults, key))
+        overrides[key] = _coerce(value, getattr(defaults, key),
+                                 hints.get(key))
     if overrides:
         cfg = cfg.replace(**overrides)
     cfg.validate()
