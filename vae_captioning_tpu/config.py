@@ -53,7 +53,10 @@ class Config:
     # equivalent — the ref decodes at batch_size).  None keeps the
     # reference behavior; decode throughput scales with batch to a knee
     # (beam-3: 32768, greedy: 65536 rows — PERF.md round-5 ladders), so
-    # production batch inference should set e.g. 4096-32768.
+    # production batch inference should set e.g. 4096-32768.  Ceiling:
+    # beam_size × gen_batch_size rows must fit the fused top-K kernel's
+    # 32 MiB running scratch (≈8·Mp·k bytes → ~100k rows at beam 10;
+    # beam 3's knee sits safely under it).
     gen_batch_size: Optional[int] = None
 
     # --- encoder (ref utils/parameters.py:20-21) ---
